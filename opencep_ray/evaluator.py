@@ -1,0 +1,795 @@
+"""Per-conversation CEP evaluator.
+
+This is the stateful core executed inside Ray Data stages (``map_groups`` for
+batch parity runs, actor pools for streaming).  It re-implements, from the
+semantics documented in SURVEY.md §2.3/§7.0, the behavior of the reference's
+evaluation tree (``/root/reference/tree/nodes/*``) with a redesigned,
+callback-free structure:
+
+* a :class:`CompiledPattern` is a picklable, stateless compilation of a
+  :class:`~opencep_ray.pattern.Pattern` (slot/precedence assignment, condition
+  distribution, negation classification),
+* a :class:`ConversationEvaluator` holds the per-key mutable state (leaf/join
+  buffers, Kleene buffers, negation pending lists) and is fed events in
+  arrival order, emitting matches incrementally.
+
+Parity contract implemented here (reference file:line in parentheses):
+
+* window: ``max_ts − min_ts ≤ W`` inclusive (tree/nodes/Node.py:187-193);
+* SEQ order: non-strict ``(min_ts, max_ts)`` ascending along pattern order
+  (tree/nodes/SeqNode.py:30-33, misc/Utils.py:159-172) — ties match in both
+  orders; generalized here to a slot-precedence relation so arbitrary
+  SEQ/AND nesting is supported;
+* no duplicate events inside a match (tree/nodes/InternalNode.py:28-30);
+* Kleene closure emits every subset of live child matches containing the
+  newest one, sizes in ``[min_size, max_size]``, subsets enumerated in
+  descending size (tree/nodes/KleeneClosureNode.py:58-80,
+  misc/Utils.py:234-244); KC conditions see the list of item payloads;
+* negation: bounded = inline anti-check on positive arrival; unbounded =
+  positives held in a pending buffer until the watermark passes
+  ``first_ts + W`` or end-of-stream, retro-invalidated by later negatives
+  (tree/nodes/NegationNode.py:60-183); uncertain negatives scale the match
+  probability by ``1 − p`` (tree/nodes/NegationNode.py:114-117);
+* probability: joint product across events; matches below the pattern
+  confidence are dropped at every node (misc/Utils.py:297-306,
+  tree/nodes/Node.py:140-146);
+* consumption policies: MATCH_SINGLE (enforced at the output node) and
+  MATCH_NEXT (enforced from the leaf's parent upward)
+  (misc/ConsumptionPolicy.py, tree/Tree.py:35-37,116-118); contiguity is
+  rewritten into arrival-index adjacency conditions (base/Pattern.py:175-182).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Dict, List, Optional, Tuple
+
+from .conditions import Condition, SimpleCondition, TrueCondition, Variable
+from .pattern import (Composite, Kleene, Neg, Or, Pattern, Primitive,
+                      SelectionStrategy, Seq)
+
+INDEX_ATTR = "__idx"  # hidden arrival-index payload attribute
+
+
+class Ev:
+    """A primitive or aggregated event inside the evaluator."""
+
+    __slots__ = ("payload", "type", "min_ts", "max_ts", "idx", "prob",
+                 "primitives")
+
+    def __init__(self, payload, type_, ts, idx, prob=None, primitives=None):
+        self.payload = payload
+        self.type = type_
+        self.min_ts = ts
+        self.max_ts = ts if primitives is None else primitives[-1].max_ts
+        self.idx = idx
+        self.prob = prob
+        self.primitives = primitives  # list[Ev] for Kleene aggregates
+
+    def content(self):
+        """Binding content: payload dict, or list of payloads for aggregates
+        (reference: tree/nodes/InternalNode.py:70-78)."""
+        if self.primitives is None:
+            return self.payload
+        return [e.payload for e in self.primitives]
+
+
+class PM:
+    """A (partial) match: ``entries`` = tuple of (entry_key, Ev) sorted by
+    entry key (entry keys order events by pattern declaration order)."""
+
+    __slots__ = ("entries", "first_ts", "last_ts", "prob")
+
+    def __init__(self, entries: Tuple[Tuple[int, "Ev"], ...], prob=None):
+        self.entries = entries
+        self.first_ts = min(e.min_ts for _, e in entries)
+        self.last_ts = max(e.max_ts for _, e in entries)
+        self.prob = prob
+
+
+def _joint_prob(p1, p2):
+    """None-aware probability product (misc/Utils.py:297-306)."""
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    return p1 * p2
+
+
+def _is_adjacent(i1, i2):
+    return i2 == i1 + 1
+
+
+class _IndexGetter:
+    def __call__(self, payload):
+        return payload[INDEX_ATTR]
+
+
+# ---------------------------------------------------------------------------
+# Compilation
+
+
+class _LeafSpec:
+    __slots__ = ("event_type", "name", "leaf_id", "slot", "conditions",
+                 "negative", "kc_member")
+
+    def __init__(self, event_type, name, leaf_id, slot, negative=False,
+                 kc_member=False):
+        self.event_type = event_type
+        self.name = name
+        self.leaf_id = leaf_id    # unique entry key of this leaf
+        self.slot = slot          # precedence slot (KC members share one)
+        self.conditions: List[Condition] = []
+        self.negative = negative
+        self.kc_member = kc_member
+
+
+class _NodeSpec:
+    """Stateless template for one evaluator-tree node."""
+
+    KIND_LEAF = 0
+    KIND_JOIN = 1
+    KIND_KC = 2
+    KIND_NEG = 3
+
+    __slots__ = ("kind", "children", "leaf", "conditions", "names",
+                 "min_size", "max_size", "is_unbounded", "is_first_unbounded",
+                 "kc_key", "kc_slot", "node_id")
+
+    def __init__(self, kind, children=(), leaf=None):
+        self.kind = kind
+        self.children = children          # tuple[_NodeSpec, ...]
+        self.leaf: Optional[_LeafSpec] = leaf
+        self.conditions: List[Condition] = []
+        self.names: frozenset = frozenset()
+        self.min_size = 1
+        self.max_size = None
+        self.is_unbounded = False
+        self.is_first_unbounded = False
+        self.kc_key = -1                  # entry key of the KC aggregate
+        self.kc_slot = -1
+        self.node_id = -1
+
+
+class CompiledPattern:
+    """Driver-side compilation artifact, shipped (pickled) to workers."""
+
+    def __init__(self, pattern: Pattern, pattern_id: int = 0):
+        self.pattern_id = pattern.pattern_id if pattern.pattern_id is not None \
+            else pattern_id
+        self.window_us = pattern.window_us
+        self.confidence = pattern.confidence
+        self.event_names = pattern.event_names()
+
+        structure = pattern.structure
+        if isinstance(structure, Or):
+            raise ValueError("top-level OR must be split into multiple "
+                             "patterns first (see opencep_ray.transformation)")
+        if isinstance(structure, Neg):
+            raise ValueError("pattern cannot be entirely negative")
+
+        # ------------------------------------------------------------------
+        # slot + leaf-id assignment.  One precedence slot per primitive leaf
+        # or per Kleene closure (all leaves inside a KC share its slot);
+        # declaration order over the FULL structure, negatives included.
+        self.leaves: List[_LeafSpec] = []
+        self._slot_count = 0
+        self._kc_specs: List[Tuple[int, object]] = []  # (slot, Kleene ast)
+        seq_groups: List[Tuple] = []
+        kc_seq_groups: List[List[Tuple[int, int]]] = []  # leaf-id ranges
+
+        def new_slot():
+            s = self._slot_count
+            self._slot_count += 1
+            return s
+
+        def assign(s, negative=False, kc_slot=None):
+            """Assigns slots; returns [lo, hi) slot range covered by s."""
+            if isinstance(s, Primitive):
+                slot = kc_slot if kc_slot is not None else new_slot()
+                self.leaves.append(_LeafSpec(s.event_type, s.name,
+                                             len(self.leaves), slot, negative,
+                                             kc_member=kc_slot is not None))
+                return slot, slot + 1
+            if isinstance(s, Kleene):
+                if kc_slot is not None:
+                    raise ValueError("nested Kleene closures are not "
+                                     "supported (matches reference, "
+                                     "base/Event.py:53)")
+                slot = new_slot()
+                self._kc_specs.append((slot, s))
+                assign(s.arg, negative, kc_slot=slot)
+                return slot, slot + 1
+            if isinstance(s, Neg):
+                if kc_slot is not None:
+                    raise ValueError("negation inside Kleene closure is not "
+                                     "supported")
+                return assign(s.arg, negative=True, kc_slot=kc_slot)
+            if isinstance(s, Composite):
+                if kc_slot is None:
+                    lo = self._slot_count
+                    ranges = [assign(a, negative, kc_slot) for a in s.args]
+                    seq_groups.append((s, ranges))
+                    return lo, self._slot_count
+                # composite inside a Kleene closure: all leaves share the KC
+                # slot; SEQ ordering among them is tracked by leaf id
+                leaf_ranges = []
+                for a in s.args:
+                    l0 = len(self.leaves)
+                    assign(a, negative, kc_slot)
+                    leaf_ranges.append((l0, len(self.leaves)))
+                if isinstance(s, Seq):
+                    kc_seq_groups.append(leaf_ranges)
+                return kc_slot, kc_slot + 1
+            raise ValueError(f"unsupported structure {s!r}")
+
+        assign(structure)
+        n_leaves = len(self.leaves)
+
+        # precedence relation over slots: (i, j) ∈ prec ⇒ slot i's events
+        # must precede slot j's ((min_ts, max_ts) ≤ component-wise).
+        prec = set()
+        for comp, ranges in seq_groups:
+            if isinstance(comp, Seq):
+                for ai in range(len(ranges)):
+                    for aj in range(ai + 1, len(ranges)):
+                        for i in range(*ranges[ai]):
+                            for j in range(*ranges[aj]):
+                                if i != j:
+                                    prec.add((i, j))
+        self.prec = frozenset(prec)
+
+        # intra-KC SEQ ordering, keyed by leaf id (entry key)
+        prec_keys = set()
+        for leaf_ranges in kc_seq_groups:
+            for ai in range(len(leaf_ranges)):
+                for aj in range(ai + 1, len(leaf_ranges)):
+                    for i in range(*leaf_ranges[ai]):
+                        for j in range(*leaf_ranges[aj]):
+                            prec_keys.add((i, j))
+        self.prec_keys = frozenset(prec_keys)
+
+        # entry-key bookkeeping: leaf entries use leaf_id (0..n_leaves-1);
+        # each KC aggregate gets key n_leaves + ordinal.
+        self.entry_slot: Dict[int, int] = {
+            lf.leaf_id: lf.slot for lf in self.leaves}
+        self.entry_names: Dict[int, Tuple[str, ...]] = {
+            lf.leaf_id: (lf.name,) for lf in self.leaves}
+        self._kc_keys: Dict[int, int] = {}  # kc slot -> entry key
+        for ordinal, (slot, kc_ast) in enumerate(self._kc_specs):
+            key = n_leaves + ordinal
+            self._kc_keys[slot] = key
+            self.entry_slot[key] = slot
+            self.entry_names[key] = tuple(kc_ast.arg.event_names()) \
+                if not isinstance(kc_ast.arg, Primitive) \
+                else (kc_ast.arg.name,)
+
+        # ------------------------------------------------------------------
+        # split positive / negative top-level args (base/Pattern.py:65-88 —
+        # negation is supported at the top nesting level, like the reference)
+        if isinstance(structure, Composite):
+            pos_args = [a for a in structure.args if not isinstance(a, Neg)]
+            neg_args = [a for a in structure.args if isinstance(a, Neg)]
+            if not pos_args:
+                raise ValueError("pattern contains no positive events")
+            for a in neg_args:
+                if not isinstance(a.arg, Primitive):
+                    raise ValueError("only primitive events may be negated")
+            top_is_seq = isinstance(structure, Seq)
+            arg_positions = {id(a): i for i, a in enumerate(structure.args)}
+            pos_positions = [arg_positions[id(a)] for a in pos_args]
+        else:
+            pos_args, neg_args, top_is_seq = [structure], [], False
+            arg_positions, pos_positions = {}, []
+
+        # ------------------------------------------------------------------
+        # condition distribution: each conjunct is attached to the lowest
+        # node binding all of its names (condition/CompositeCondition.py:30-64)
+        conjuncts: List[Condition] = []
+        if not isinstance(pattern.condition, TrueCondition):
+            flat = pattern.condition.flatten()
+            conjuncts = flat if flat else [pattern.condition]
+
+        cp = pattern.consumption_policy
+        if cp is not None and cp.contiguous_names:
+            seqs = cp.contiguous_names
+            if seqs and isinstance(seqs[0], str):
+                seqs = [seqs]
+            for names_seq in seqs:
+                for a, b in zip(names_seq, names_seq[1:]):
+                    conjuncts.append(SimpleCondition(
+                        Variable(a, _IndexGetter()),
+                        Variable(b, _IndexGetter()),
+                        relation_op=_is_adjacent))
+
+        remaining = list(conjuncts)
+
+        def take_conditions(names: frozenset, kc_only: bool) -> List[Condition]:
+            taken, keep = [], []
+            for c in remaining:
+                cn = c.names()
+                if cn and cn <= names and c.is_kc_condition() == kc_only:
+                    taken.append(c)
+                else:
+                    keep.append(c)
+            remaining[:] = keep
+            return taken
+
+        # ------------------------------------------------------------------
+        # build the node-spec tree (trivial left-deep plan in declaration
+        # order, reference plan/LeftDeepTreeBuilders.py:59-65)
+        self._node_count = 0
+
+        def new_node(kind, children=(), leaf=None):
+            n = _NodeSpec(kind, children, leaf)
+            n.node_id = self._node_count
+            self._node_count += 1
+            return n
+
+        used_leaves = set()
+
+        def leaf_for(name: str, negative: bool) -> _LeafSpec:
+            for lf in self.leaves:
+                if lf.name == name and lf.negative == negative \
+                        and lf.leaf_id not in used_leaves:
+                    used_leaves.add(lf.leaf_id)
+                    return lf
+            raise ValueError(f"no leaf for event name {name!r}")
+
+        def build(s) -> _NodeSpec:
+            if isinstance(s, Primitive):
+                lf = leaf_for(s.name, False)
+                lf.conditions = take_conditions(frozenset([s.name]), False)
+                node = new_node(_NodeSpec.KIND_LEAF, leaf=lf)
+                node.names = frozenset([s.name])
+                return node
+            if isinstance(s, Kleene):
+                child = build(s.arg)
+                node = new_node(_NodeSpec.KIND_KC, (child,))
+                node.names = child.names
+                node.min_size = s.min_size
+                node.max_size = s.max_size
+                kc_slot = next(slot for slot, ast in self._kc_specs
+                               if ast is s)
+                node.kc_slot = kc_slot
+                node.kc_key = self._kc_keys[kc_slot]
+                node.conditions = take_conditions(node.names, True)
+                return node
+            if isinstance(s, Composite):
+                children = [build(a) for a in s.args]
+                node = children[0]
+                for ch in children[1:]:
+                    parent = new_node(_NodeSpec.KIND_JOIN, (node, ch))
+                    parent.names = node.names | ch.names
+                    parent.conditions = take_conditions(parent.names, False)
+                    node = parent
+                return node
+            raise ValueError(f"unsupported structure {s!r}")
+
+        root = build(pos_args[0])
+        for a in pos_args[1:]:
+            ch = build(a)
+            parent = new_node(_NodeSpec.KIND_JOIN, (root, ch))
+            parent.names = root.names | ch.names
+            parent.conditions = take_conditions(parent.names, False)
+            root = parent
+
+        # negation nodes stacked on top: bounded first, then unbounded
+        # (naive negation algorithm, plan/negation/NaiveNegationAlgorithm.py)
+        neg_infos = []
+        for a in neg_args:
+            pos_after = any(p > arg_positions[id(a)] for p in pos_positions)
+            unbounded = (not top_is_seq) or (not pos_after)
+            neg_infos.append((a, unbounded))
+        neg_infos.sort(key=lambda t: t[1])  # bounded (False) first
+        first_unbounded_set = False
+        for a, unbounded in neg_infos:
+            lf = leaf_for(a.arg.name, True)
+            lf.conditions = take_conditions(frozenset([lf.name]), False)
+            neg_leaf = new_node(_NodeSpec.KIND_LEAF, leaf=lf)
+            neg_leaf.names = frozenset([lf.name])
+            node = new_node(_NodeSpec.KIND_NEG, (root, neg_leaf))
+            node.names = root.names | neg_leaf.names
+            node.conditions = take_conditions(node.names, False)
+            node.is_unbounded = unbounded
+            if unbounded and not first_unbounded_set:
+                node.is_first_unbounded = True
+                first_unbounded_set = True
+            root = node
+
+        root.conditions.extend(remaining)
+        remaining.clear()
+        self.root = root
+        self.has_unbounded_negation = first_unbounded_set
+
+        # ------------------------------------------------------------------
+        # consumption policy: single-type registration
+        # (misc/ConsumptionPolicy.py:77-88, tree/Tree.py:35-37,116-118)
+        self.single_at_root: frozenset = frozenset()
+        self.match_next_types: frozenset = frozenset()
+        if cp is not None and cp.single_types:
+            if cp.secondary_selection_strategy == SelectionStrategy.MATCH_SINGLE:
+                self.single_at_root = frozenset(cp.single_types)
+            elif cp.secondary_selection_strategy == SelectionStrategy.MATCH_NEXT:
+                self.match_next_types = frozenset(cp.single_types)
+
+        # event_type -> [leaf specs], for routing
+        self.routes: Dict[str, List[_LeafSpec]] = {}
+        for lf in self.leaves:
+            self.routes.setdefault(lf.event_type, []).append(lf)
+
+
+def compile_patterns(patterns) -> List[CompiledPattern]:
+    """Applies the OR-splitting rewrites and compiles each pattern."""
+    from .transformation import prepare_patterns
+    if isinstance(patterns, Pattern):
+        patterns = [patterns]
+    out = []
+    for i, p in enumerate(prepare_patterns(patterns)):
+        out.append(CompiledPattern(p, pattern_id=p.pattern_id
+                                   if p.pattern_id is not None else i))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Runtime
+
+
+class _RTNode:
+    __slots__ = ("spec", "parent", "side", "buffers", "pending", "filtered")
+
+    def __init__(self, spec: _NodeSpec):
+        self.spec = spec
+        self.parent: Optional["_RTNode"] = None
+        self.side = 0
+        self.buffers = None      # join/neg: [left, right]; kc: [child pms]
+        self.pending = None      # unbounded-negation pending positives
+        self.filtered = None     # single-policy used-event idx set
+
+
+class ConversationEvaluator:
+    """Evaluates compiled patterns over one key's events, fed in arrival
+    order.  Matches accumulate in ``self.matches`` as (pattern_id, PM)."""
+
+    __slots__ = ("compiled", "matches", "_counter", "_agg_counter", "_trees")
+
+    def __init__(self, compiled: List[CompiledPattern]):
+        self.compiled = compiled
+        self.matches: List[Tuple[int, PM]] = []
+        self._counter = 0
+        self._agg_counter = 0
+        self._trees = [self._instantiate(cp) for cp in compiled]
+
+    def _instantiate(self, cp: CompiledPattern):
+        nodes: Dict[int, _RTNode] = {}
+
+        def inst(spec: _NodeSpec) -> _RTNode:
+            node = _RTNode(spec)
+            nodes[spec.node_id] = node
+            if spec.kind in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
+                node.buffers = [[], []]
+            elif spec.kind == _NodeSpec.KIND_KC:
+                node.buffers = [[]]
+            if spec.is_first_unbounded:
+                node.pending = []
+            for i, ch_spec in enumerate(spec.children):
+                ch = inst(ch_spec)
+                ch.parent = node
+                ch.side = i
+            return node
+
+        root = inst(cp.root)
+        if cp.single_at_root or cp.match_next_types:
+            for n in nodes.values():
+                n.filtered = set()
+        leaf_nodes = {n.spec.leaf.leaf_id: n for n in nodes.values()
+                      if n.spec.kind == _NodeSpec.KIND_LEAF}
+        first_unbounded = next((n for n in nodes.values()
+                                if n.spec.is_first_unbounded), None)
+        return {"cp": cp, "root": root, "leaf_nodes": leaf_nodes,
+                "first_unbounded": first_unbounded}
+
+    # -- ingestion ----------------------------------------------------------
+    def process(self, payload: dict, ev_type: str, ts_us: int,
+                prob: Optional[float] = None):
+        """Feed one event in arrival order; injects the arrival index."""
+        idx = self._counter
+        self._counter += 1
+        payload[INDEX_ATTR] = idx
+        ev = Ev(payload, ev_type, ts_us, idx, prob)
+        for tree in self._trees:
+            routes = tree["cp"].routes.get(ev_type)
+            if not routes:
+                continue
+            for lf in routes:
+                self._leaf_accept(tree, lf, ev)
+
+    def advance_watermark(self, ts_us: int):
+        """Flush pending unbounded-negation matches whose window has fully
+        passed (watermark analog of tree/nodes/NegationNode.py:70-87)."""
+        for tree in self._trees:
+            self._flush_pending(tree, ts_us)
+
+    def eos(self):
+        """End of stream: flush all pending matches (tree/Tree.py:224-238)."""
+        for tree in self._trees:
+            self._flush_pending(tree, None)
+
+    # -- leaves -------------------------------------------------------------
+    def _leaf_accept(self, tree, lf: _LeafSpec, ev: Ev):
+        if lf.conditions:
+            binding = {lf.name: ev.payload}
+            for c in lf.conditions:
+                if not c.eval(binding):
+                    return
+        node = tree["leaf_nodes"][lf.leaf_id]
+        pm = PM(((lf.leaf_id, ev),), ev.prob)
+        self._emit_to_parent(tree, node, pm)
+
+    def _emit_to_parent(self, tree, node: _RTNode, pm: PM):
+        parent = node.parent
+        if parent is None:
+            self._accept_output(tree, pm)
+            return
+        kind = parent.spec.kind
+        if kind == _NodeSpec.KIND_JOIN:
+            self._join_on_child(tree, parent, pm, node.side)
+        elif kind == _NodeSpec.KIND_KC:
+            self._kc_on_child(tree, parent, pm)
+        elif kind == _NodeSpec.KIND_NEG:
+            if node.side == 0:
+                self._neg_on_positive(tree, parent, pm)
+            else:
+                self._neg_on_negative(tree, parent, pm)
+
+    # -- join ---------------------------------------------------------------
+    def _join_on_child(self, tree, node: _RTNode, pm: PM, side: int):
+        cp = tree["cp"]
+        threshold = pm.last_ts - cp.window_us
+        other = node.buffers[1 - side]
+        _expire(other, threshold)
+        _expire(node.buffers[side], threshold)
+        node.buffers[side].append(pm)
+        for opm in other:
+            merged = _merge_entries(pm.entries, opm.entries)
+            new_pm = self._validate(cp, node.spec, merged,
+                                    _joint_prob(pm.prob, opm.prob))
+            if new_pm is not None and self._pass_policy(tree, node, new_pm):
+                self._emit_to_parent(tree, node, new_pm)
+
+    # -- kleene closure -----------------------------------------------------
+    def _kc_on_child(self, tree, node: _RTNode, pm: PM):
+        cp = tree["cp"]
+        spec = node.spec
+        buf = node.buffers[0]
+        _expire(buf, pm.last_ts - cp.window_us)
+        buf.append(pm)
+        newest = buf[-1]
+        rest = buf[:-1]
+        max_size = spec.max_size if spec.max_size is not None else len(buf)
+        # subsets containing the newest, descending size
+        # (tree/nodes/KleeneClosureNode.py:58-80, misc/Utils.py:234-244)
+        for size in range(min(max_size - 1, len(rest)), -1, -1):
+            if size + 1 < spec.min_size:
+                break
+            for combo in combinations(rest, size):
+                subset = list(combo) + [newest]
+                prims: List[Ev] = []
+                prob = None
+                for spm in subset:
+                    for _, e in spm.entries:
+                        if e.primitives is None:
+                            prims.append(e)
+                        else:
+                            prims.extend(e.primitives)
+                    prob = _joint_prob(prob, spm.prob)
+                agg = Ev(None, prims[0].type, prims[0].min_ts,
+                         self._next_idx(), prob, primitives=prims)
+                merged = ((spec.kc_key, agg),)
+                new_pm = self._validate(cp, spec, merged, prob)
+                if new_pm is not None and self._pass_policy(tree, node,
+                                                            new_pm):
+                    self._emit_to_parent(tree, node, new_pm)
+
+    def _next_idx(self):
+        # aggregated events get a distinct id space (negative) so primitive
+        # arrival indices stay dense; uniqueness is all the no-dup check needs
+        self._agg_counter -= 1
+        return self._agg_counter
+
+    # -- negation -----------------------------------------------------------
+    def _neg_on_positive(self, tree, node: _RTNode, pm: PM):
+        cp = tree["cp"]
+        neg_buf = node.buffers[1]
+        _expire(neg_buf, pm.last_ts - cp.window_us)
+        prob = pm.prob
+        for npm in neg_buf:
+            merged = _merge_entries(pm.entries, npm.entries)
+            if self._validate(cp, node.spec, merged,
+                              _joint_prob(prob, npm.prob),
+                              neg_check=True) is not None:
+                if npm.prob is not None:
+                    # uncertain negative: scale the probability
+                    prob = _joint_prob(prob, 1.0 - npm.prob)
+                else:
+                    return  # invalidated (tree/nodes/NegationNode.py:118-122)
+        out = PM(pm.entries, prob)
+        if not self._pass_policy(tree, node, out):
+            return
+        if node.spec.is_first_unbounded:
+            node.pending.append(out)
+        else:
+            self._emit_to_parent(tree, node, out)
+
+    def _neg_on_negative(self, tree, node: _RTNode, pm: PM):
+        cp = tree["cp"]
+        _expire(node.buffers[1], pm.last_ts - cp.window_us)
+        node.buffers[1].append(pm)
+        if not node.spec.is_unbounded:
+            return  # bounded: nothing to do (tree/nodes/NegationNode.py:145-147)
+        first = tree["first_unbounded"]
+        if first is None or first.pending is None:
+            return
+        keep = []
+        for ppm in first.pending:
+            merged = _merge_entries(ppm.entries, pm.entries)
+            invalid = False
+            if self._validate(cp, node.spec, merged,
+                              _joint_prob(ppm.prob, pm.prob),
+                              neg_check=True) is not None:
+                if pm.prob is not None:
+                    ppm.prob = _joint_prob(ppm.prob, 1.0 - pm.prob)
+                else:
+                    invalid = True
+            if not invalid:
+                keep.append(ppm)
+        first.pending[:] = keep
+
+    def _flush_pending(self, tree, watermark_us: Optional[int]):
+        first = tree["first_unbounded"]
+        if first is None or not first.pending:
+            return
+        cp = tree["cp"]
+        if watermark_us is None:
+            to_flush, keep = first.pending[:], []
+        else:
+            threshold = watermark_us - cp.window_us
+            first.pending.sort(key=lambda p: p.first_ts)
+            to_flush = [p for p in first.pending if p.first_ts < threshold]
+            keep = [p for p in first.pending if p.first_ts >= threshold]
+        first.pending[:] = keep
+        for pm in to_flush:
+            self._emit_to_parent(tree, first, pm)
+
+    # -- validation ---------------------------------------------------------
+    def _validate(self, cp: CompiledPattern, spec: _NodeSpec,
+                  entries, prob, neg_check=False) -> Optional[PM]:
+        # window (tree/nodes/Node.py:187-193)
+        min_ts = entries[0][1].min_ts
+        max_ts = entries[0][1].max_ts
+        for _, e in entries:
+            if e.min_ts < min_ts:
+                min_ts = e.min_ts
+            if e.max_ts > max_ts:
+                max_ts = e.max_ts
+        if max_ts - min_ts > cp.window_us:
+            return None
+        n = len(entries)
+        if n > 1:
+            # duplicate events (tree/nodes/InternalNode.py:28-30)
+            idxs = set()
+            for _, e in entries:
+                if e.idx in idxs:
+                    return None
+                idxs.add(e.idx)
+            # SEQ precedence (tree/nodes/SeqNode.py:30-33)
+            prec, prec_keys = cp.prec, cp.prec_keys
+            if prec or prec_keys:
+                slot_of = cp.entry_slot
+                for i in range(n):
+                    ki, ei = entries[i]
+                    si = slot_of[ki]
+                    for j in range(i + 1, n):
+                        kj, ej = entries[j]
+                        sj = slot_of[kj]
+                        if (si, sj) in prec or (ki, kj) in prec_keys:
+                            if ei.min_ts > ej.min_ts:
+                                return None
+                            if not neg_check and ei.max_ts > ej.max_ts:
+                                return None
+                        elif (sj, si) in prec or (kj, ki) in prec_keys:
+                            if ej.min_ts > ei.min_ts:
+                                return None
+                            if not neg_check and ej.max_ts > ei.max_ts:
+                                return None
+        # conditions
+        if spec.conditions:
+            binding = {}
+            for key, e in entries:
+                content = e.content()
+                for name in cp.entry_names[key]:
+                    binding[name] = content
+            for c in spec.conditions:
+                if not c.eval(binding):
+                    return None
+        return PM(entries, prob)
+
+    # -- policies & output ---------------------------------------------------
+    def _pass_policy(self, tree, node: _RTNode, pm: PM) -> bool:
+        cp = tree["cp"]
+        if pm.prob is not None and cp.confidence is not None \
+                and pm.prob < cp.confidence:
+            return False  # confidence threshold (tree/nodes/Node.py:140-146)
+        if cp.match_next_types and node.filtered is not None:
+            return self._apply_single(node, pm, cp.match_next_types)
+        return True
+
+    def _apply_single(self, node: _RTNode, pm: PM, types: frozenset) -> bool:
+        new = []
+        for _, e in pm.entries:
+            prims = e.primitives if e.primitives is not None else (e,)
+            for p in prims:
+                if p.type in types:
+                    if p.idx in node.filtered:
+                        return False
+                    new.append(p.idx)
+        node.filtered.update(new)
+        return True
+
+    def _accept_output(self, tree, pm: PM):
+        cp = tree["cp"]
+        if pm.prob is not None and cp.confidence is not None \
+                and pm.prob < cp.confidence:
+            return
+        if cp.single_at_root:
+            if not self._apply_single(tree["root"], pm, cp.single_at_root):
+                return
+        self.matches.append((cp.pattern_id, pm))
+
+    # -- output helpers ------------------------------------------------------
+    def binding_of(self, pattern_index: int, pm: PM) -> Dict[str, object]:
+        """Event name -> payload (list of payloads for KC names)."""
+        cp = self.compiled[pattern_index]
+        out = {}
+        for key, e in pm.entries:
+            content = e.content()
+            for name in cp.entry_names[key]:
+                out[name] = content
+        return out
+
+    @staticmethod
+    def primitive_events(pm: PM) -> List[Ev]:
+        """All primitive events of a match, in pattern-slot order (KC items
+        in arrival order), matching the reference's match event list."""
+        out = []
+        for _, e in pm.entries:
+            if e.primitives is None:
+                out.append(e)
+            else:
+                out.extend(e.primitives)
+        return out
+
+
+def _expire(buf: List[PM], threshold: int):
+    """Drop partial matches with first_ts < threshold (storage cleanup,
+    tree/PatternMatchStorage.py:70-89; window is re-validated on every match
+    creation so eager cleanup never changes results)."""
+    if buf and buf[0].first_ts < threshold:
+        buf[:] = [p for p in buf if p.first_ts >= threshold]
+
+
+def _merge_entries(a, b):
+    """Merge two entry tuples sorted by entry key."""
+    out = []
+    i = j = 0
+    na, nb = len(a), len(b)
+    while i < na and j < nb:
+        if a[i][0] <= b[j][0]:
+            out.append(a[i])
+            i += 1
+        else:
+            out.append(b[j])
+            j += 1
+    out.extend(a[i:])
+    out.extend(b[j:])
+    return tuple(out)

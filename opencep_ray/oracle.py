@@ -1,0 +1,225 @@
+"""Brute-force CEP oracle for conformance tests.
+
+An exhaustive, independent implementation of the match semantics (window,
+SEQ order, Kleene subsets, negation, probability) used as the ground truth
+that the tree evaluator is verified against — the same role the reference's
+``generate_matches`` plays for its golden files (misc/Utils.py:175-215),
+but extended to Kleene closure, negation, confidence, and per-slot filters.
+
+Supports flat patterns: SEQ/AND over primitives, Kleene over a primitive,
+NOT over a primitive, arbitrary conditions.  Intentionally exponential —
+test-scale inputs only.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import List, Optional, Tuple
+
+from .conditions import AndCondition, TrueCondition
+from .evaluator import INDEX_ATTR, _joint_prob
+from .pattern import And, Composite, Kleene, Neg, Pattern, Primitive, Seq
+
+
+class OracleEvent:
+    __slots__ = ("payload", "type", "ts", "idx", "prob")
+
+    def __init__(self, payload, type_, ts, idx, prob=None):
+        self.payload = payload
+        self.type = type_
+        self.ts = ts
+        self.idx = idx
+        self.prob = prob
+
+
+def oracle_matches(pattern: Pattern, events: List[Tuple[dict, str, int]],
+                   probs: Optional[List[float]] = None):
+    """Enumerate all matches of ``pattern`` over ``events`` given in arrival
+    order as (payload, type, ts_us) tuples.  Returns a list of
+    (frozen_match, probability) where frozen_match is a tuple of per-slot
+    event-idx tuples (KC slots hold the item idx tuple)."""
+    from .transformation import prepare_patterns
+    results = []
+    for p in prepare_patterns([pattern]):
+        results.extend(_oracle_single(p, events, probs))
+    return results
+
+
+def _oracle_single(pattern: Pattern, raw_events, probs):
+    evs: List[OracleEvent] = []
+    for i, (payload, typ, ts) in enumerate(raw_events):
+        payload = dict(payload)
+        payload[INDEX_ATTR] = i
+        evs.append(OracleEvent(payload, typ, ts,
+                               i, probs[i] if probs else None))
+
+    structure = pattern.structure
+    if isinstance(structure, Composite):
+        args = list(structure.args)
+        is_seq = isinstance(structure, Seq)
+    else:
+        args, is_seq = [structure], False
+
+    pos_args = [a for a in args if not isinstance(a, Neg)]
+    neg_args = [(i, a.arg) for i, a in enumerate(args) if isinstance(a, Neg)]
+    pos_positions = [i for i, a in enumerate(args) if not isinstance(a, Neg)]
+    # bounded-vs-unbounded classification (NegationAlgorithm.py:28-45): a
+    # BOUNDED negative only invalidates if it ARRIVED before the event that
+    # completes the positive match (the reference does nothing on late
+    # bounded negatives, tree/nodes/NegationNode.py:145-147); unbounded
+    # negatives retro-invalidate pending positives at any later arrival.
+    neg_bounded = {i: (is_seq and any(p > i for p in pos_positions))
+                   for i, _ in neg_args}
+
+    # split conjuncts: single-name non-KC conditions act as per-slot filters
+    conjuncts = pattern.condition.flatten() \
+        if not isinstance(pattern.condition, TrueCondition) else []
+    if not conjuncts and not isinstance(pattern.condition, TrueCondition):
+        conjuncts = [pattern.condition]
+    slot_filters = {}
+    rest = []
+    all_names = {a.name if isinstance(a, Primitive) else None for a in pos_args}
+    for c in conjuncts:
+        cn = c.names()
+        if len(cn) == 1 and not c.is_kc_condition():
+            slot_filters.setdefault(next(iter(cn)), []).append(c)
+        else:
+            rest.append(c)
+
+    neg_names = {a.name for _, a in neg_args}
+    pos_conds = [c for c in rest if not (c.names() & neg_names)]
+    neg_conds = {name: [c for c in rest if name in c.names()]
+                 for name in neg_names}
+
+    def passes_filters(name, payload):
+        for c in slot_filters.get(name, ()):
+            if not c.eval({name: payload}):
+                return False
+        return True
+
+    # candidate lists per positive slot
+    def candidates(arg):
+        if isinstance(arg, Primitive):
+            return [(e,) for e in evs
+                    if e.type == arg.event_type
+                    and passes_filters(arg.name, e.payload)]
+        if isinstance(arg, Kleene):
+            if not isinstance(arg.arg, Primitive):
+                raise NotImplementedError("oracle supports Kleene over a "
+                                          "primitive only")
+            prim = arg.arg
+            items = [e for e in evs if e.type == prim.event_type
+                     and passes_filters(prim.name, e.payload)]
+            out = []
+            max_size = arg.max_size or len(items)
+            for size in range(arg.min_size, max_size + 1):
+                out.extend(combinations(items, size))
+            return out
+        raise NotImplementedError(f"oracle does not support {arg!r}")
+
+    cand_lists = [candidates(a) for a in pos_args]
+
+    window = pattern.window_us
+    matches = []
+
+    def slot_span(chosen):
+        mins = [c[0].ts for c in chosen]
+        maxs = [c[-1].ts for c in chosen]
+        return mins, maxs
+
+    def recurse(i, chosen, used):
+        if i == len(cand_lists):
+            finalize(chosen)
+            return
+        for cand in cand_lists[i]:
+            idxs = {e.idx for e in cand}
+            if idxs & used:
+                continue
+            chosen.append(cand)
+            mins, maxs = slot_span(chosen)
+            if max(maxs) - min(mins) <= window and order_ok(chosen):
+                recurse(i + 1, chosen, used | idxs)
+            chosen.pop()
+
+    def order_ok(chosen):
+        if not is_seq:
+            return True
+        # positive args must be (min_ts, max_ts)-ascending in their
+        # declared relative order
+        for a in range(len(chosen)):
+            for b in range(a + 1, len(chosen)):
+                if pos_positions[a] < pos_positions[b]:
+                    if chosen[a][0].ts > chosen[b][0].ts:
+                        return False
+                    if chosen[a][-1].ts > chosen[b][-1].ts:
+                        return False
+        return True
+
+    def binding_of(chosen):
+        binding = {}
+        for arg, cand in zip(pos_args, chosen):
+            if isinstance(arg, Primitive):
+                binding[arg.name] = cand[0].payload
+            else:
+                binding[arg.arg.name] = [e.payload for e in cand]
+        return binding
+
+    def finalize(chosen):
+        binding = binding_of(chosen)
+        for c in pos_conds:
+            if not c.eval(binding):
+                return
+        prob = None
+        for cand in chosen:
+            for e in cand:
+                prob = _joint_prob(prob, e.prob)
+        # negation: each negative arg checked independently
+        mins, maxs = slot_span(chosen)
+        lo, hi = min(mins), max(maxs)
+        used_idx = {e.idx for cand in chosen for e in cand}
+        completion_idx = max(used_idx)
+        for pos_idx, neg_prim in neg_args:
+            bounded = neg_bounded[pos_idx]
+            for e in evs:
+                if e.type != neg_prim.event_type or e.idx in used_idx:
+                    continue
+                if bounded and e.idx > completion_idx:
+                    continue
+                if not passes_filters(neg_prim.name, e.payload):
+                    continue
+                if max(hi, e.ts) - min(lo, e.ts) > window:
+                    continue
+                if is_seq and not _neg_order_ok(pos_idx, e, chosen,
+                                                pos_positions):
+                    continue
+                b2 = dict(binding)
+                b2[neg_prim.name] = e.payload
+                if all(c.eval(b2) for c in neg_conds[neg_prim.name]):
+                    if e.prob is not None:
+                        prob = _joint_prob(prob, 1.0 - e.prob)
+                    else:
+                        return  # invalidated
+        if prob is not None and pattern.confidence is not None \
+                and prob < pattern.confidence:
+            return
+        key = tuple(tuple(e.idx for e in cand) for cand in chosen)
+        matches.append((key, prob, binding))
+
+    recurse(0, [], set())
+    return [(m, pattern.pattern_id, prob, binding)
+            for (m, prob, binding) in matches]
+
+
+def _neg_order_ok(neg_pos, neg_ev, chosen, pos_positions):
+    """SEQ ordering for a negative event at declared position ``neg_pos``:
+    it must fall (by min-timestamp order) between the positives before and
+    after it (NSeq validation, tree/nodes/NegationNode.py:246-250)."""
+    for i, cand in enumerate(chosen):
+        p = pos_positions[i]
+        if p < neg_pos:
+            if cand[0].ts > neg_ev.ts:
+                return False
+        elif p > neg_pos:
+            if neg_ev.ts > cand[0].ts:
+                return False
+    return True

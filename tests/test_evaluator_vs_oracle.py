@@ -1,0 +1,277 @@
+"""Conformance: tree evaluator vs the brute-force oracle.
+
+Mirrors the reference's golden-file strategy (test/testUtils.py:163-212):
+match-set equality (order-free, duplicate-count-sensitive) between the
+incremental tree evaluator and the exhaustive oracle, over deterministic
+synthetic transcript-shaped event streams covering the pattern classes in
+FIXTURES.md §3.  Pure Python — no Ray needed.
+"""
+
+import random
+
+import pytest
+
+from opencep_ray import (And, AndCondition, Col, ConsumptionPolicy,
+                         EqCondition, GreaterThanCondition, KCIndexCondition,
+                         KCValueCondition, Kleene, Neg, Or, Pattern,
+                         Primitive, Seq, SimpleCondition, SmallerThanCondition,
+                         Variable, compile_patterns)
+from opencep_ray.evaluator import ConversationEvaluator
+from opencep_ray.oracle import oracle_matches
+
+SEC = 1_000_000  # µs
+
+
+def gen_stream(seed, n=30, types=("user", "assistant", "tool"),
+               tie_prob=0.3, val_range=20):
+    """Deterministic event stream with ts ties and a numeric attribute."""
+    rng = random.Random(seed)
+    ts = 0
+    out = []
+    for i in range(n):
+        if i > 0 and rng.random() >= tie_prob:
+            ts += rng.randint(1, 5) * SEC
+        typ = rng.choice(types)
+        payload = {"v": rng.randint(0, val_range), "turn": i, "text": f"t{i}"}
+        out.append((payload, typ, ts))
+    return out
+
+
+def run_evaluator(pattern, events, probs=None):
+    compiled = compile_patterns(pattern)
+    ev = ConversationEvaluator(compiled)
+    for i, (payload, typ, ts) in enumerate(events):
+        ev.process(dict(payload), typ, ts,
+                   probs[i] if probs else None)
+    ev.eos()
+    out = []
+    for pid, pm in ev.matches:
+        cp = next(c for c in compiled if c.pattern_id == pid)
+        key = _canonical(cp, pm)
+        out.append((pid, key, None if pm.prob is None
+                    else round(pm.prob, 9)))
+    return sorted(out, key=repr)
+
+
+def _canonical(cp, pm):
+    entries = sorted(pm.entries, key=lambda t: cp.entry_slot[t[0]])
+    key = []
+    for _, e in entries:
+        if e.primitives is None:
+            key.append((e.idx,))
+        else:
+            key.append(tuple(p.idx for p in e.primitives))
+    return tuple(key)
+
+
+def run_oracle(pattern, events, probs=None):
+    out = []
+    for key, pid, prob, _ in oracle_matches(pattern, events, probs):
+        out.append((pid, key, None if prob is None else round(prob, 9)))
+    return sorted(out, key=repr)
+
+
+def check(pattern, events, probs=None):
+    got = run_evaluator(pattern, events, probs)
+    want = run_oracle(pattern, events, probs)
+    assert got == want, (f"evaluator={got}\noracle={want}")
+    return got
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_seq2_binary_condition(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                GreaterThanCondition(Col("b", "v"), Col("a", "v")),
+                window=10)
+    check(p, gen_stream(seed))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_seq3_chained(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Primitive("tool", "c")),
+                AndCondition(
+                    GreaterThanCondition(Col("a", "v"), Col("b", "v")),
+                    GreaterThanCondition(Col("b", "v"), Col("c", "v"))),
+                window=15)
+    check(p, gen_stream(seed + 100))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_and_unordered(seed):
+    p = Pattern(And(Primitive("user", "a"), Primitive("tool", "b")),
+                SmallerThanCondition(Col("a", "v"), Col("b", "v")),
+                window=8)
+    check(p, gen_stream(seed + 200))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_same_type_self_join_seq(seed):
+    # ascending-metric self-join, ref test/BasicTests.py:45-61
+    p = Pattern(Seq(Primitive("assistant", "a"), Primitive("assistant", "b"),
+                    Primitive("assistant", "c")),
+                AndCondition(
+                    SmallerThanCondition(Col("a", "v"), Col("b", "v")),
+                    SmallerThanCondition(Col("b", "v"), Col("c", "v"))),
+                window=20)
+    check(p, gen_stream(seed + 300, n=20))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_ties_both_orders_match(seed):
+    # heavy tie probability: same-ts events must match in both orders
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=30)
+    check(p, gen_stream(seed + 400, n=15, tie_prob=0.8))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kleene_basic(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Kleene(Primitive("assistant", "b"))),
+                window=6)
+    check(p, gen_stream(seed + 500, n=14))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kleene_min_max(seed):
+    p = Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b"), min_size=2,
+                           max_size=3)),
+                window=10)
+    check(p, gen_stream(seed + 600, n=14))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kleene_value_condition(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Kleene(Primitive("assistant", "b"),
+                                                   max_size=4)),
+                KCValueCondition(["b"], lambda p_: p_["v"],
+                                 lambda v, c: v > c, 5),
+                window=8)
+    check(p, gen_stream(seed + 700, n=14))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kleene_index_offset_condition(seed):
+    # adjacent items must be ascending in v (offset condition)
+    p = Pattern(Seq(Primitive("user", "a"), Kleene(Primitive("assistant", "b"),
+                                                   max_size=4)),
+                KCIndexCondition(["b"], lambda p_: p_["v"],
+                                 lambda v1, v2: v1 <= v2, offset=1),
+                window=10)
+    check(p, gen_stream(seed + 800, n=14))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_negation_bounded_middle(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=12)
+    check(p, gen_stream(seed + 900))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_negation_unbounded_end(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Neg(Primitive("tool", "x"))),
+                window=10)
+    check(p, gen_stream(seed + 1000))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_negation_begin(seed):
+    p = Pattern(Seq(Neg(Primitive("tool", "x")), Primitive("user", "a"),
+                    Primitive("assistant", "b")),
+                window=10)
+    check(p, gen_stream(seed + 1100))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_negation_multiple(seed):
+    p = Pattern(Seq(Neg(Primitive("tool", "x")), Primitive("user", "a"),
+                    Primitive("assistant", "b"), Neg(Primitive("tool", "y"))),
+                window=10)
+    events = gen_stream(seed + 1200, types=("user", "assistant", "tool"))
+    check(p, events)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_negation_with_condition(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                GreaterThanCondition(Col("x", "v"), Col("a", "v")),
+                window=12)
+    check(p, gen_stream(seed + 1300))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_negation_in_and_pattern(seed):
+    # AND top operator: all negatives are unbounded
+    p = Pattern(And(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Neg(Primitive("tool", "x"))),
+                window=6)
+    check(p, gen_stream(seed + 1400, n=18))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_or_split_to_multipattern(seed):
+    p = Pattern(Or(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                   Seq(Primitive("user", "a"), Primitive("tool", "b"))),
+                window=8)
+    check(p, gen_stream(seed + 1500))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_probability_confidence(seed):
+    rng = random.Random(seed + 1600)
+    events = gen_stream(seed + 1600, n=20)
+    probs = [round(rng.random(), 3) for _ in events]
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=10, confidence=0.3)
+    check(p, events, probs)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_probabilistic_negation(seed):
+    rng = random.Random(seed + 1700)
+    events = gen_stream(seed + 1700, n=20)
+    probs = [round(rng.random(), 3) for _ in events]
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=10, confidence=0.1)
+    check(p, events, probs)
+
+
+def test_lambda_variable_condition():
+    # arbitrary-lambda attribute extraction (reference Variable escape hatch)
+    events = gen_stream(42, n=25)
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                SimpleCondition(Variable("a", lambda e: len(e["text"])),
+                                Variable("b", lambda e: e["v"]),
+                                relation_op=lambda la, vb: la <= vb),
+                window=10)
+    check(p, events)
+
+
+def test_multi_pattern_union():
+    events = gen_stream(7, n=25)
+    p1 = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                 window=5, pattern_id=1)
+    p2 = Pattern(And(Primitive("user", "a"), Primitive("tool", "b")),
+                 window=5, pattern_id=2)
+    compiled = compile_patterns([p1, p2])
+    ev = ConversationEvaluator(compiled)
+    for payload, typ, ts in events:
+        ev.process(dict(payload), typ, ts)
+    ev.eos()
+    got = sorted(((pid, _canonical(next(c for c in compiled
+                                        if c.pattern_id == pid), pm))
+                  for pid, pm in ev.matches), key=repr)
+    want = sorted([(pid, key) for key, pid, _, _ in
+                   oracle_matches(p1, events)] +
+                  [(pid, key) for key, pid, _, _ in
+                   oracle_matches(p2, events)], key=repr)
+    assert got == want
