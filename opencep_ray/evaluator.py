@@ -758,11 +758,15 @@ class ConversationEvaluator:
         return out
 
     @staticmethod
-    def primitive_events(pm: PM) -> List[Ev]:
+    def primitive_events(pm: PM, cp: Optional[CompiledPattern] = None) -> List[Ev]:
         """All primitive events of a match, in pattern-slot order (KC items
         in arrival order), matching the reference's match event list."""
+        entries = pm.entries
+        if cp is not None:
+            slot_of = cp.entry_slot
+            entries = sorted(entries, key=lambda t: slot_of[t[0]])
         out = []
-        for _, e in pm.entries:
+        for _, e in entries:
             if e.primitives is None:
                 out.append(e)
             else:

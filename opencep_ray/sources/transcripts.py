@@ -1,0 +1,105 @@
+"""Deterministic synthetic conversation-transcript generator.
+
+Produces the canonical input table of this engine (BASELINE.json
+``input_hint``): ``conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string (nullable), ts:timestamp[us]`` — multi-turn conversation / agent
+transcripts, ts non-decreasing per conversation with deliberate ties to
+exercise SEQ tie semantics, numeric condition material embedded
+deterministically in ``text`` (FIXTURES.md §1).
+
+Vectorized with numpy; a fixed seed makes every call reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+ROLES = np.array(["user", "assistant", "tool", "system"])
+TOOLS = np.array(["search", "code", "browser", "calc"])
+
+SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+
+def synth_transcripts(n_convs: int = 100, avg_turns: int = 20,
+                      seed: int = 42, start_us: int = 1_700_000_000_000_000,
+                      tie_prob: float = 0.15) -> pa.Table:
+    """Generates ``n_convs`` conversations with ~``avg_turns`` turns each."""
+    rng = np.random.RandomState(seed)
+    turns = rng.randint(max(2, avg_turns // 2), avg_turns * 3 // 2 + 1,
+                        size=n_convs)
+    total = int(turns.sum())
+
+    conv_ord = np.repeat(np.arange(n_convs), turns)
+    turn_idx = np.concatenate([np.arange(t) for t in turns]).astype(np.int32)
+
+    # role cycle user → assistant with tool/system interludes
+    r = rng.rand(total)
+    role_idx = np.where(turn_idx % 2 == 0, 0, 1)          # user / assistant
+    role_idx = np.where((r < 0.18) & (turn_idx > 0), 2, role_idx)  # tool
+    role_idx = np.where((r > 0.97), 3, role_idx)           # system
+    roles = ROLES[role_idx]
+
+    tool_names = np.where(role_idx == 2,
+                          TOOLS[rng.randint(0, len(TOOLS), size=total)],
+                          None)
+
+    # per-conversation start offset + non-decreasing gaps with ties
+    conv_start = (rng.randint(0, 30 * 24 * 3600, size=n_convs).astype(np.int64)
+                  * 1_000_000)
+    gaps = rng.randint(1, 120, size=total).astype(np.int64) * 1_000_000
+    gaps[rng.rand(total) < tie_prob] = 0
+    first_of_conv = np.zeros(total, dtype=bool)
+    first_of_conv[np.cumsum(turns)[:-1]] = True
+    first_of_conv[0] = True
+    gaps[first_of_conv] = 0
+    # cumulative sum within each conversation
+    cum = np.cumsum(gaps)
+    conv_first_pos = np.zeros(n_convs, dtype=np.int64)
+    conv_first_pos[1:] = np.cumsum(turns)[:-1]
+    ts = start_us + conv_start[conv_ord] + cum - cum[conv_first_pos][conv_ord]
+
+    # deterministic numeric material inside text: "msg <n> v=<v>"
+    v = rng.randint(0, 100, size=total)
+    conv_ids = np.char.add("c", np.char.zfill(conv_ord.astype(str), 7))
+    texts = np.char.add(
+        np.char.add("msg ", turn_idx.astype(str)),
+        np.char.add(" v=", v.astype(str)))
+
+    return pa.table({
+        "conv_id": pa.array(conv_ids.tolist(), pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(roles.tolist(), pa.string()),
+        "text": pa.array(texts.tolist(), pa.string()),
+        "tool": pa.array(tool_names.tolist(), pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def text_v(payload: dict) -> int:
+    """Extracts the deterministic numeric attribute from a turn's text."""
+    text = payload["text"]
+    return int(text[text.rfind("=") + 1:])
+
+
+def write_transcripts(path: str, n_convs: int, avg_turns: int = 20,
+                      seed: int = 42, rows_per_file: int = 500_000):
+    """Writes the synthetic table as (possibly several) parquet files."""
+    import pyarrow.parquet as pq
+    import os
+    os.makedirs(path, exist_ok=True)
+    table = synth_transcripts(n_convs, avg_turns, seed)
+    n = table.num_rows
+    part = 0
+    for lo in range(0, n, rows_per_file):
+        chunk = table.slice(lo, rows_per_file)
+        pq.write_table(chunk, os.path.join(path, f"part-{part:05d}.parquet"))
+        part += 1
+    return n
