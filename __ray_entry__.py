@@ -1,16 +1,8 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the ``opencep_ray`` library) calls ``ray.init()`` /
+``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +12,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: CEP pattern matching — a 3-event SEQ
+    with a chained value condition over the events stream (read_parquet →
+    vectorized prefilter/partition → one hash shuffle → stateful
+    per-conversation evaluation → matches)."""
+    from opencep_ray.pipelines.queries import cep_seq3
+    return cep_seq3("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented pipeline/operator from SURVEY.md §2 plus
+    the training-data stages (windows, dedup, text, ANN, multimodal,
+    relational)."""
+    from opencep_ray.pipelines.queries import QUERIES, ensure_transcripts
+    ensure_transcripts()
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query (tables
+    ``events documents embeddings lineitem orders customer`` are
+    pre-registered; the canonical transcripts table is a deterministic
+    parquet under /tmp read via ``read_parquet``).  Keys missing here
+    (minhash/simhash LSH, langid, fingerprint, IVF-ANN, multimodal stubs)
+    are non-SQL-expressible and get the driver's rows-only check; their
+    exactness is covered in tests/."""
+    from opencep_ray.pipelines.queries import ORACLES, ensure_transcripts
+    ensure_transcripts()
+    return dict(ORACLES)

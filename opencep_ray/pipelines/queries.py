@@ -1,0 +1,619 @@
+"""The query catalog: every pipeline exposed through ``__ray_entry__``.
+
+Each entry couples a Ray Data pipeline (``sf_dir -> Dataset``) with an
+equivalent DuckDB oracle SQL (where SQL-expressible).  Column names match
+between the two exactly; float aggregates are rounded identically on both
+sides so order-of-summation noise cannot flip the value hash.
+
+CEP queries run over the ``events`` table (user_id = the conversation key)
+and over the canonical synthetic transcripts table (written once under
+/tmp, read by the SQL oracle via ``read_parquet``) — together they give
+SQL-verified coverage of SEQ / AND / negation / Kleene semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from ..conditions import SimpleCondition, Variable
+from ..engine import CEP, BindingsEmitter, EngineConfig
+from ..pattern import And, Kleene, Neg, Pattern, Primitive, Seq
+
+MIN_30 = 30 * 60
+HOUR = 3600
+
+TRANSCRIPTS_PATH = "/tmp/graft_synth/transcripts.parquet"
+
+
+def ensure_transcripts() -> str:
+    """Deterministic canonical transcripts table (FIXTURES.md §1), written
+    once; both the Ray queries and the DuckDB oracle read this file."""
+    if not os.path.exists(TRANSCRIPTS_PATH):
+        import pyarrow.parquet as pq
+        from ..sources.transcripts import synth_transcripts
+        os.makedirs(os.path.dirname(TRANSCRIPTS_PATH), exist_ok=True)
+        tmp = TRANSCRIPTS_PATH + ".tmp"
+        pq.write_table(synth_transcripts(300, 20, seed=42), tmp)
+        os.rename(tmp, TRANSCRIPTS_PATH)
+    return TRANSCRIPTS_PATH
+
+
+def _events(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _events_cfg(payload=("event_id", "value", "user_id")):
+    return EngineConfig(key_col="user_id", ts_col="ts",
+                        type_col="event_type", order_cols=("event_id",),
+                        payload_cols=payload, num_partitions=32)
+
+
+def _ids_emitter(names, extra=()):
+    """Emitter producing user_id + <name>_id int64 columns (+ extras)."""
+    cols = {"user_id": (lambda b, pm, n=names[0]: b[n]["user_id"])}
+    schema = [("user_id", pa.int64())]
+    for n in names:
+        cols[f"{n}_id"] = (lambda b, pm, n=n: b[n]["event_id"])
+        schema.append((f"{n}_id", pa.int64()))
+    for name, typ, fn in extra:
+        cols[name] = fn
+        schema.append((name, typ))
+    return BindingsEmitter(cols, pa.schema(schema))
+
+
+# ---------------------------------------------------------------------------
+# CEP over the events table
+
+
+def cep_seq2(sf_dir):
+    p = Pattern(Seq(Primitive("view", "a"), Primitive("purchase", "b")),
+                SimpleCondition(Variable("a", lambda e: e["value"]),
+                                Variable("b", lambda e: e["value"]),
+                                relation_op=lambda va, vb: vb > va),
+                window=24 * HOUR)
+    return CEP(p, _events_cfg(), _ids_emitter(["a", "b"])).run(_events(sf_dir))
+
+
+CEP_SEQ2_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND a.ts <= b.ts
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+  AND b.value > a.value
+"""
+
+
+def cep_seq3(sf_dir):
+    p = Pattern(Seq(Primitive("view", "a"), Primitive("click", "b"),
+                    Primitive("purchase", "c")),
+                SimpleCondition(Variable("a", lambda e: e["value"]),
+                                Variable("b", lambda e: e["value"]),
+                                Variable("c", lambda e: e["value"]),
+                                relation_op=lambda va, vb, vc:
+                                va < vb < vc),
+                window=48 * HOUR)
+    return CEP(p, _events_cfg(),
+               _ids_emitter(["a", "b", "c"])).run(_events(sf_dir))
+
+
+CEP_SEQ3_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+       c.event_id AS c_id
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+JOIN events c ON a.user_id = c.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND c.event_type = 'purchase'
+  AND a.ts <= b.ts AND b.ts <= c.ts
+  AND epoch_us(c.ts) - epoch_us(a.ts) <= 172800000000
+  AND a.value < b.value AND b.value < c.value
+"""
+
+
+def cep_and(sf_dir):
+    p = Pattern(And(Primitive("signup", "a"), Primitive("error", "b")),
+                window=MIN_30)
+    return CEP(p, _events_cfg(), _ids_emitter(["a", "b"])).run(_events(sf_dir))
+
+
+CEP_AND_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'signup' AND b.event_type = 'error'
+  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+"""
+
+
+def cep_negation(sf_dir):
+    p = Pattern(Seq(Primitive("view", "a"), Neg(Primitive("error", "x")),
+                    Primitive("purchase", "b")),
+                window=24 * HOUR)
+    return CEP(p, _events_cfg(), _ids_emitter(["a", "b"])).run(_events(sf_dir))
+
+
+CEP_NEG_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND a.ts <= b.ts
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = a.user_id AND x.event_type = 'error'
+      AND x.ts >= a.ts AND x.ts <= b.ts)
+"""
+
+
+def cep_kleene(sf_dir):
+    p = Pattern(Seq(Primitive("signup", "a"),
+                    Kleene(Primitive("click", "b"), max_size=2),
+                    Primitive("purchase", "c")),
+                window=48 * HOUR)
+    emitter = _ids_emitter(
+        ["a", "c"],
+        extra=[("kc_ids", pa.string(),
+                lambda b, pm: ",".join(str(e["event_id"]) for e in b["b"]))])
+    return CEP(p, _events_cfg(), emitter).run(_events(sf_dir))
+
+
+CEP_KLEENE_SQL = """
+WITH base AS (
+  SELECT a.user_id AS u, a.event_id AS a_id, a.ts AS a_ts,
+         c.event_id AS c_id, c.ts AS c_ts
+  FROM events a JOIN events c ON a.user_id = c.user_id
+  WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
+    AND a.ts <= c.ts
+    AND epoch_us(c.ts) - epoch_us(a.ts) <= 172800000000)
+SELECT u AS user_id, a_id, c_id, CAST(k.event_id AS VARCHAR) AS kc_ids
+FROM base JOIN events k ON k.user_id = u AND k.event_type = 'click'
+  AND k.ts >= a_ts AND k.ts <= c_ts
+UNION ALL
+SELECT u AS user_id, a_id, c_id,
+       CAST(k1.event_id AS VARCHAR) || ',' || CAST(k2.event_id AS VARCHAR)
+FROM base
+JOIN events k1 ON k1.user_id = u AND k1.event_type = 'click'
+  AND k1.ts >= a_ts AND k1.ts <= c_ts
+JOIN events k2 ON k2.user_id = u AND k2.event_type = 'click'
+  AND k2.ts >= a_ts AND k2.ts <= c_ts
+  AND (k1.ts < k2.ts OR (k1.ts = k2.ts AND k1.event_id < k2.event_id))
+"""
+
+
+# ---------------------------------------------------------------------------
+# CEP over the canonical transcripts table (ts ties included)
+
+
+def _transcripts_ds():
+    import ray.data as rd
+    return rd.read_parquet(ensure_transcripts())
+
+
+def cep_transcripts_seq2(sf_dir):
+    from ..sources.transcripts import text_v
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                SimpleCondition(Variable("a", text_v), Variable("b", text_v),
+                                relation_op=lambda x, y: y > x),
+                window=300)
+    cfg = EngineConfig(key_col="conv_id", ts_col="ts", type_col="role",
+                       order_cols=("turn_idx",),
+                       payload_cols=("turn_idx", "text", "conv_id"),
+                       num_partitions=32)
+    emitter = BindingsEmitter(
+        {"conv_id": lambda b, pm: b["a"]["conv_id"],
+         "a_turn": lambda b, pm: b["a"]["turn_idx"],
+         "b_turn": lambda b, pm: b["b"]["turn_idx"]},
+        pa.schema([("conv_id", pa.string()), ("a_turn", pa.int32()),
+                   ("b_turn", pa.int32())]))
+    return CEP(p, cfg, emitter).run(_transcripts_ds())
+
+
+CEP_TRANSCRIPTS_SEQ2_SQL = f"""
+SELECT a.conv_id AS conv_id, a.turn_idx AS a_turn, b.turn_idx AS b_turn
+FROM read_parquet('{TRANSCRIPTS_PATH}') a
+JOIN read_parquet('{TRANSCRIPTS_PATH}') b ON a.conv_id = b.conv_id
+WHERE a.role = 'user' AND b.role = 'assistant'
+  AND a.ts <= b.ts
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+  AND CAST(regexp_extract(b.text, 'v=([0-9]+)', 1) AS INT) >
+      CAST(regexp_extract(a.text, 'v=([0-9]+)', 1) AS INT)
+"""
+
+
+def cep_transcripts_negation(sf_dir):
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=300)
+    cfg = EngineConfig(key_col="conv_id", ts_col="ts", type_col="role",
+                       order_cols=("turn_idx",),
+                       payload_cols=("turn_idx", "conv_id"),
+                       num_partitions=32)
+    emitter = BindingsEmitter(
+        {"conv_id": lambda b, pm: b["a"]["conv_id"],
+         "a_turn": lambda b, pm: b["a"]["turn_idx"],
+         "b_turn": lambda b, pm: b["b"]["turn_idx"]},
+        pa.schema([("conv_id", pa.string()), ("a_turn", pa.int32()),
+                   ("b_turn", pa.int32())]))
+    return CEP(p, cfg, emitter).run(_transcripts_ds())
+
+
+# NOTE the bounded-negation arrival rule (tree/nodes/NegationNode.py:145-147):
+# a tool turn invalidates only if it ARRIVED (turn order) no later than the
+# completing assistant turn; with ts ties this differs from a pure-ts filter.
+CEP_TRANSCRIPTS_NEG_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}')
+           WHERE role IN ('user', 'assistant', 'tool'))
+SELECT a.conv_id AS conv_id, a.turn_idx AS a_turn, b.turn_idx AS b_turn
+FROM t a JOIN t b ON a.conv_id = b.conv_id
+WHERE a.role = 'user' AND b.role = 'assistant'
+  AND a.ts <= b.ts
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+  AND NOT EXISTS (
+    SELECT 1 FROM t x
+    WHERE x.conv_id = a.conv_id AND x.role = 'tool'
+      AND x.ts >= a.ts AND x.ts <= b.ts
+      -- bounded negative must have ARRIVED before the completing positive:
+      -- completion arrival key = max of (ts, turn_idx) over (a, b)
+      AND (x.ts < b.ts OR (x.ts = b.ts AND x.turn_idx <
+           CASE WHEN a.ts = b.ts THEN GREATEST(a.turn_idx, b.turn_idx)
+                ELSE b.turn_idx END)))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows
+
+
+def window_tumbling(sf_dir):
+    from ..stages.windows import windowed_agg
+    return windowed_agg(_events(sf_dir), size_s=HOUR,
+                        keys=("event_type",), value_col="value")
+
+
+WINDOW_TUMBLING_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+       event_type, count(*) AS n,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+         AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def window_sliding(sf_dir):
+    from ..stages.windows import windowed_agg
+    return windowed_agg(_events(sf_dir), size_s=HOUR, hop_s=900,
+                        keys=("event_type",))
+
+
+WINDOW_SLIDING_SQL = """
+SELECT ((epoch_us(ts) // 900000000) - i) * 900000000 AS window_start,
+       event_type, count(*) AS n
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g
+GROUP BY 1, 2
+"""
+
+
+def window_session(sf_dir):
+    from ..stages.windows import session_windows
+    return session_windows(_events(sf_dir), gap_s=2 * HOUR,
+                           key_col="user_id")
+
+
+WINDOW_SESSION_SQL = """
+WITH flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def transcripts_session(sf_dir):
+    from ..stages.windows import session_windows
+    return session_windows(_transcripts_ds(), gap_s=300, key_col="conv_id")
+
+
+TRANSCRIPTS_SESSION_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}')),
+flags AS (
+  SELECT conv_id, ts, turn_idx,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 300000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+sess AS (
+  SELECT conv_id, ts,
+         SUM(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags)
+SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n
+FROM sess GROUP BY conv_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / ANN over documents + embeddings
+
+
+def _documents(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dedup_exact(sf_dir):
+    from ..stages.dedup import exact_dedup_ids
+    return exact_dedup_ids(_documents(sf_dir))
+
+
+DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def dedup_ngram(sf_dir):
+    from ..stages.dedup import ngram_jaccard_blocked
+    return ngram_jaccard_blocked(_documents(sf_dir), block_col="source",
+                                 n=2, threshold=0.05)
+
+
+DEDUP_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+gsets AS (
+  SELECT doc_id, source,
+         list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+           AS gs
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.gs, b.gs)) AS inter,
+         len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
+  FROM gsets a JOIN gsets b
+    ON a.source = b.source AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, inter::DOUBLE / uni AS jaccard
+FROM pairs WHERE inter::DOUBLE / uni >= 0.05
+"""
+
+
+def dedup_embedding(sf_dir):
+    from ..stages.dedup import embedding_neardup_blocked
+    return embedding_neardup_blocked(_embeddings(sf_dir), threshold=0.3)
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+def dedup_minhash(sf_dir):
+    """MinHash-LSH candidate pairs (rows-only oracle: the banded hash
+    pipeline is not SQL-expressible; exactness is tested in pytest against
+    planted near-duplicates)."""
+    from ..stages.dedup import minhash_lsh_candidates
+    return minhash_lsh_candidates(_documents(sf_dir), shingle_k=2)
+
+
+def dedup_simhash(sf_dir):
+    from ..stages.dedup import simhash_candidates
+    return simhash_candidates(_documents(sf_dir), max_hamming=10)
+
+
+def text_stats_q(sf_dir):
+    from ..stages.text import text_stats
+    ds = _documents(sf_dir).map_batches(text_stats, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_calc", "n_tokens",
+                              "n_digits"])
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id, length(text) AS n_chars_calc,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+FROM documents
+"""
+
+
+def text_quality(sf_dir):
+    from ..stages.text import QualityScore
+    ds = _documents(sf_dir).map_batches(QualityScore(),
+                                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "quality_score"])
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+  0.5 * (len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('the','a','of','to','and','in','is','it','on','for')))
+         ::DOUBLE / len(string_split(text, ' ')))
+  + 0.3 * (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+               / length(text))
+  + 0.2 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+  AS quality_score
+FROM documents
+"""
+
+
+def text_langid(sf_dir):
+    from ..stages.text import LangId
+    ds = _documents(sf_dir).map_batches(LangId(), batch_format="pyarrow",
+                                        concurrency=4)
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def text_fingerprint(sf_dir):
+    from ..stages.text import Fingerprint
+    ds = _documents(sf_dir).map_batches(Fingerprint(),
+                                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def ann_topk(sf_dir):
+    from ..stages.ann import ann_brute_force
+    emb = _embeddings(sf_dir)
+    q = emb.filter(lambda r: r["vec_id"] < 8).to_pandas()
+    out = ann_brute_force(emb, q["vec_id"].tolist(),
+                          q["embedding"].tolist(), k=5)
+    return out.select_columns(["q_id", "nn_rank", "neighbor_id"])
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+sims AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q, embeddings e),
+ranked AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id)
+           AS nn_rank
+  FROM sims)
+SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
+"""
+
+
+def ann_ivf_q(sf_dir):
+    from ..stages.ann import ann_ivf
+    emb = _embeddings(sf_dir)
+    q = emb.filter(lambda r: r["vec_id"] < 8).to_pandas()
+    out = ann_ivf(emb, q["vec_id"].tolist(), q["embedding"].tolist(), k=5,
+                  n_centroids=8, nprobe=4)
+    return out.select_columns(["q_id", "nn_rank", "neighbor_id"])
+
+
+def multimodal_decode(sf_dir):
+    import ray.data as rd
+    from ..stages.multimodal import decode_features, synth_media
+    ds = rd.from_arrow(synth_media(128, seed=9))
+    return decode_features(ds)
+
+
+# ---------------------------------------------------------------------------
+# Relational
+
+
+def rel_pricing(sf_dir):
+    import ray.data as rd
+    from .relational import pricing_summary
+    return pricing_summary(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+REL_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0
+         AS sum_qty,
+       sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0
+         AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                AS BIGINT)) / 1000000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rel_segment_revenue(sf_dir):
+    import ray.data as rd
+    from .relational import segment_revenue
+    return segment_revenue(rd.read_parquet(f"{sf_dir}/orders.parquet"),
+                           rd.read_parquet(f"{sf_dir}/customer.parquet"))
+
+
+REL_SEGMENT_SQL = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       sum(CAST(round(o.o_totalprice * 1000000) AS BIGINT)) / 1000000.0
+         AS revenue,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _round_col(ds, col: str, digits: int):
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table, col=col, digits=digits) -> pa.Table:
+        i = t.column_names.index(col)
+        return t.set_column(i, col, pc.round(t[col], ndigits=digits))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+
+
+QUERIES = {
+    "cep_seq2": cep_seq2,
+    "cep_seq3": cep_seq3,
+    "cep_and": cep_and,
+    "cep_negation": cep_negation,
+    "cep_kleene": cep_kleene,
+    "cep_transcripts_seq2": cep_transcripts_seq2,
+    "cep_transcripts_negation": cep_transcripts_negation,
+    "window_tumbling": window_tumbling,
+    "window_sliding": window_sliding,
+    "window_session": window_session,
+    "transcripts_session": transcripts_session,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram": dedup_ngram,
+    "dedup_embedding": dedup_embedding,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "text_stats": text_stats_q,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "ann_topk": ann_topk,
+    "ann_ivf": ann_ivf_q,
+    "multimodal_decode": multimodal_decode,
+    "rel_pricing": rel_pricing,
+    "rel_segment_revenue": rel_segment_revenue,
+}
+
+ORACLES = {
+    "cep_seq2": CEP_SEQ2_SQL,
+    "cep_seq3": CEP_SEQ3_SQL,
+    "cep_and": CEP_AND_SQL,
+    "cep_negation": CEP_NEG_SQL,
+    "cep_kleene": CEP_KLEENE_SQL,
+    "cep_transcripts_seq2": CEP_TRANSCRIPTS_SEQ2_SQL,
+    "cep_transcripts_negation": CEP_TRANSCRIPTS_NEG_SQL,
+    "window_tumbling": WINDOW_TUMBLING_SQL,
+    "window_sliding": WINDOW_SLIDING_SQL,
+    "window_session": WINDOW_SESSION_SQL,
+    "transcripts_session": TRANSCRIPTS_SESSION_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram": DEDUP_NGRAM_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "text_stats": TEXT_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "rel_pricing": REL_PRICING_SQL,
+    "rel_segment_revenue": REL_SEGMENT_SQL,
+}

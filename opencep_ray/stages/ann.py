@@ -1,0 +1,186 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* :func:`ann_brute_force` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one float64 matmul and
+  emits only its local top-k per query; a final tiny per-query reduction
+  yields the global top-k.  Shuffle volume: O(queries × k × batches).
+* :func:`build_ivf_index` / :func:`ann_ivf` — the scale path: coarse
+  centroids from a deterministic sample (k-means, fixed seed, driver-side
+  on the sample only), vectors assigned to their nearest centroid in one
+  vectorized pass; queries probe the ``nprobe`` nearest centroids so each
+  query touches only a fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+class _BatchTopK:
+    """Local top-k per query per batch (stateful: queries fetched once per
+    actor from the object store)."""
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(query_ref)
+        self.q_ids = q["ids"]
+        self.q_unit = _unit_rows(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        mat = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        sims = self.q_unit @ _unit_rows(mat).T        # (Q, B)
+        k = min(self.k, sims.shape[1])
+        # argpartition then exact sort of the short list
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            cols = part[qi]
+            for c in cols:
+                out_q.append(self.q_ids[qi])
+                out_id.append(int(ids[c]))
+                out_sim.append(float(sims[qi, c]))
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_sim, pa.float64())})
+
+
+class _GlobalTopK:
+    def __init__(self, k: int):
+        self.k = k
+        self.__name__ = "GlobalTopK"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        sims = group["cosine"].to_numpy(zero_copy_only=False)
+        ids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:self.k]
+        return pa.table({
+            "q_id": group["q_id"].take(pa.array(order)),
+            "nn_rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "neighbor_id": group["neighbor_id"].take(pa.array(order)),
+            "cosine": pa.array(np.round(sims[order], 6), pa.float64()),
+        })
+
+
+def ann_brute_force(ds: Dataset, query_ids, query_vecs, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> Dataset:
+    """Exact cosine top-k of each query vector against the corpus.
+    Ties broken by smaller neighbor id (deterministic)."""
+    ref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+    local = ds.map_batches(_BatchTopK, batch_format="pyarrow",
+                           fn_constructor_args=(ref, k, id_col, vec_col),
+                           concurrency=(1, 8))
+    return local.groupby("q_id").map_groups(_GlobalTopK(k),
+                                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the 100 TB path
+
+
+def build_ivf_index(ds: Dataset, n_centroids: int = 16,
+                    sample_size: int = 2048, seed: int = 11,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Coarse centroids via a few k-means iterations on a deterministic
+    sample (driver-side; the sample, not the corpus, is collected)."""
+    sample = ds.limit(sample_size).to_pandas()
+    x = _unit_rows(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)),
+                         replace=False)]
+    for _ in range(10):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class _AssignCentroid:
+    def __init__(self, cents_ref, id_col: str, vec_col: str):
+        self.cents = ray.get(cents_ref)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _unit_rows(np.array(batch[self.vec_col].to_pylist(),
+                                  dtype=np.float64))
+        assign = np.argmax(mat @ self.cents.T, axis=1)
+        return batch.append_column("centroid",
+                                   pa.array(assign.astype(np.int32)))
+
+
+def ann_ivf(ds: Dataset, query_ids, query_vecs, k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+    """IVF ANN: vectors bucketed by nearest centroid; each query only scans
+    the ``nprobe`` closest buckets."""
+    cents = build_ivf_index(ds, n_centroids, id_col=id_col, vec_col=vec_col)
+    cents_ref = ray.put(cents)
+    assigned = ds.map_batches(_AssignCentroid, batch_format="pyarrow",
+                              fn_constructor_args=(cents_ref, id_col,
+                                                   vec_col),
+                              concurrency=(1, 8))
+    q_unit = _unit_rows(np.asarray(query_vecs, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
+    # per query: restrict the corpus to probed centroids
+    allowed = {int(q): set(int(c) for c in probe[i])
+               for i, q in enumerate(query_ids)}
+    allowed_ref = ray.put(allowed)
+    ref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+
+    class _ProbedTopK(_BatchTopK):
+        def __init__(self):
+            super().__init__(ref, k, id_col, vec_col)
+            self.allowed = ray.get(allowed_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents_b = batch["centroid"].to_numpy(zero_copy_only=False)
+            outs = []
+            for qi, q in enumerate(self.q_ids):
+                mask = np.isin(cents_b, list(self.allowed[int(q)]))
+                if not mask.any():
+                    continue
+                sub = batch.filter(pa.array(mask))
+                ids = np.asarray(sub[self.id_col].to_pylist(),
+                                 dtype=np.int64)
+                mat = np.array(sub[self.vec_col].to_pylist(),
+                               dtype=np.float64)
+                sims = (self.q_unit[qi:qi + 1] @ _unit_rows(mat).T)[0]
+                kk = min(k, len(sims))
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                outs.append(pa.table({
+                    "q_id": pa.array([int(q)] * kk, pa.int64()),
+                    "neighbor_id": pa.array(ids[part], pa.int64()),
+                    "cosine": pa.array(sims[part], pa.float64()),
+                }))
+            if not outs:
+                return pa.table({"q_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    local = assigned.map_batches(_ProbedTopK, batch_format="pyarrow",
+                                 concurrency=(1, 8))
+    return local.groupby("q_id").map_groups(_GlobalTopK(k),
+                                            batch_format="pyarrow")

