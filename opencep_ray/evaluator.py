@@ -80,10 +80,20 @@ class PM:
 
     __slots__ = ("entries", "first_ts", "last_ts", "prob")
 
-    def __init__(self, entries: Tuple[Tuple[int, "Ev"], ...], prob=None):
+    def __init__(self, entries: Tuple[Tuple[int, "Ev"], ...], prob=None,
+                 first_ts=None, last_ts=None):
         self.entries = entries
-        self.first_ts = min(e.min_ts for _, e in entries)
-        self.last_ts = max(e.max_ts for _, e in entries)
+        if first_ts is None:
+            e0 = entries[0][1]
+            first_ts = e0.min_ts
+            last_ts = e0.max_ts
+            for _, e in entries:
+                if e.min_ts < first_ts:
+                    first_ts = e.min_ts
+                if e.max_ts > last_ts:
+                    last_ts = e.max_ts
+        self.first_ts = first_ts
+        self.last_ts = last_ts
         self.prob = prob
 
 
@@ -152,9 +162,16 @@ class _NodeSpec:
 
 
 class CompiledPattern:
-    """Driver-side compilation artifact, shipped (pickled) to workers."""
+    """Driver-side compilation artifact, shipped (pickled) to workers.
 
-    def __init__(self, pattern: Pattern, pattern_id: int = 0):
+    ``tree_builder`` selects the evaluation order of top-level positive
+    args from ``statistics`` (see :mod:`opencep_ray.plan`) — join order is
+    a pure performance choice here because SEQ semantics live in the slot
+    precedence relation, not the tree shape."""
+
+    def __init__(self, pattern: Pattern, pattern_id: int = 0,
+                 statistics: Optional[dict] = None,
+                 tree_builder: str = "trivial"):
         self.pattern_id = pattern.pattern_id if pattern.pattern_id is not None \
             else pattern_id
         self.window_us = pattern.window_us
@@ -366,6 +383,13 @@ class CompiledPattern:
                 return node
             raise ValueError(f"unsupported structure {s!r}")
 
+        if tree_builder != "trivial" and len(pos_args) > 1:
+            from .plan import choose_order
+            stats = statistics if statistics is not None \
+                else getattr(pattern, "statistics", None)
+            order = choose_order(len(pos_args), stats, tree_builder)
+            pos_args = [pos_args[i] for i in order]
+
         root = build(pos_args[0])
         for a in pos_args[1:]:
             ch = build(a)
@@ -419,7 +443,8 @@ class CompiledPattern:
             self.routes.setdefault(lf.event_type, []).append(lf)
 
 
-def compile_patterns(patterns) -> List[CompiledPattern]:
+def compile_patterns(patterns, statistics: Optional[dict] = None,
+                     tree_builder: str = "trivial") -> List[CompiledPattern]:
     """Applies the OR-splitting rewrites and compiles each pattern."""
     from .transformation import prepare_patterns
     if isinstance(patterns, Pattern):
@@ -427,7 +452,9 @@ def compile_patterns(patterns) -> List[CompiledPattern]:
     out = []
     for i, p in enumerate(prepare_patterns(patterns)):
         out.append(CompiledPattern(p, pattern_id=p.pattern_id
-                                   if p.pattern_id is not None else i))
+                                   if p.pattern_id is not None else i,
+                                   statistics=statistics,
+                                   tree_builder=tree_builder))
     return out
 
 
@@ -487,7 +514,8 @@ class ConversationEvaluator:
         first_unbounded = next((n for n in nodes.values()
                                 if n.spec.is_first_unbounded), None)
         return {"cp": cp, "root": root, "leaf_nodes": leaf_nodes,
-                "first_unbounded": first_unbounded}
+                "first_unbounded": first_unbounded,
+                "nodes": list(nodes.values())}
 
     # -- ingestion ----------------------------------------------------------
     def process(self, payload: dict, ev_type: str, ts_us: int,
@@ -514,6 +542,22 @@ class ConversationEvaluator:
         """End of stream: flush all pending matches (tree/Tree.py:224-238)."""
         for tree in self._trees:
             self._flush_pending(tree, None)
+
+    def is_quiescent(self, watermark_us: int) -> bool:
+        """True when no state can influence future results given the
+        watermark: all buffers expire empty and nothing is pending.  Used
+        for streaming state eviction (SURVEY.md §4 'memory pressure')."""
+        for tree in self._trees:
+            threshold = watermark_us - tree["cp"].window_us
+            for node in tree["nodes"]:
+                if node.pending:
+                    return False
+                if node.buffers:
+                    for buf in node.buffers:
+                        _expire(buf, threshold)
+                        if buf:
+                            return False
+        return not self.matches
 
     # -- leaves -------------------------------------------------------------
     def _leaf_accept(self, tree, lf: _LeafSpec, ev: Ev):
@@ -665,8 +709,9 @@ class ConversationEvaluator:
     def _validate(self, cp: CompiledPattern, spec: _NodeSpec,
                   entries, prob, neg_check=False) -> Optional[PM]:
         # window (tree/nodes/Node.py:187-193)
-        min_ts = entries[0][1].min_ts
-        max_ts = entries[0][1].max_ts
+        e0 = entries[0][1]
+        min_ts = e0.min_ts
+        max_ts = e0.max_ts
         for _, e in entries:
             if e.min_ts < min_ts:
                 min_ts = e.min_ts
@@ -712,7 +757,7 @@ class ConversationEvaluator:
             for c in spec.conditions:
                 if not c.eval(binding):
                     return None
-        return PM(entries, prob)
+        return PM(entries, prob, min_ts, max_ts)
 
     # -- policies & output ---------------------------------------------------
     def _pass_policy(self, tree, node: _RTNode, pm: PM) -> bool:

@@ -1,0 +1,144 @@
+"""Plan-time optimization: evaluation-order selection from statistics.
+
+Re-implements the reference's plan-builder family semantics
+(``/root/reference/plan/LeftDeepTreeBuilders.py``, cost model
+``plan/TreeCostModel.py:23-97``) for this engine's architecture.  Because
+SEQ ordering is validated through the slot-precedence relation (not through
+join-tree shape), ANY join order over the top-level positive args produces
+identical match sets — order choice is purely a performance decision, which
+makes these builders safe drop-ins.
+
+Statistics format (reference: ``base/Pattern.py`` ``statistics`` dict):
+
+* ``arrival_rates``: list of per-positive-arg event rates (events / window)
+* ``selectivity_matrix``: NxN matrix, ``sel[i][j]`` = probability that the
+  pairwise conditions between args i and j hold (1.0 when unconstrained)
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Dict, List, Optional, Sequence
+
+TRIVIAL = "trivial"
+SORT_BY_FREQUENCY = "sort_by_frequency"
+GREEDY = "greedy"
+DYNAMIC_PROGRAMMING = "dynamic_programming"
+
+
+def intermediate_results_cost(order: Sequence[int], rates: Sequence[float],
+                              sel: Sequence[Sequence[float]]) -> float:
+    """Σ over prefixes of the expected number of partial matches — the
+    reference's IntermediateResultsTreeCostModel for left-deep trees
+    (plan/TreeCostModel.py:60-97): leaf i costs ``rate_i·sel[i][i]``; a
+    join of prefix P with leaf j multiplies by ``rate_j·Π sel[k][j]``."""
+    cost = 0.0
+    prefix_card = 1.0
+    for pos, i in enumerate(order):
+        card_i = rates[i] * sel[i][i]
+        prefix_card *= card_i
+        for prev in order[:pos]:
+            prefix_card *= sel[prev][i] * sel[i][prev]
+        cost += prefix_card
+    return cost
+
+
+def order_trivial(n: int, rates=None, sel=None) -> List[int]:
+    """Declaration order (plan/LeftDeepTreeBuilders.py:59-65)."""
+    return list(range(n))
+
+
+def order_by_frequency(n: int, rates: Sequence[float],
+                       sel=None) -> List[int]:
+    """Ascending arrival rate (plan/LeftDeepTreeBuilders.py:68-80);
+    ties keep declaration order."""
+    return sorted(range(n), key=lambda i: (rates[i], i))
+
+
+def order_greedy(n: int, rates: Sequence[float],
+                 sel: Sequence[Sequence[float]]) -> List[int]:
+    """Greedy min-intermediate-results order
+    (plan/LeftDeepTreeBuilders.py:83-135): repeatedly append the arg that
+    minimizes the running cardinality product."""
+    remaining = set(range(n))
+    order: List[int] = []
+    while remaining:
+        best, best_card = None, None
+        for j in sorted(remaining):
+            card = rates[j] * sel[j][j]
+            for i in order:
+                card *= sel[i][j] * sel[j][i]
+            if best_card is None or card < best_card:
+                best, best_card = j, card
+        order.append(best)
+        remaining.remove(best)
+    return order
+
+
+def order_dynamic_programming(n: int, rates: Sequence[float],
+                              sel: Sequence[Sequence[float]]) -> List[int]:
+    """Exact min-cost left-deep order by DP over subsets
+    (plan/LeftDeepTreeBuilders.py:180-223).  O(2^n · n²) — fine for the
+    ≤8-arg patterns CEP queries use."""
+    if n > 16:
+        return order_greedy(n, rates, sel)
+    best: Dict[frozenset, tuple] = {}
+
+    def card_of(subset_order):
+        card = 1.0
+        for pos, i in enumerate(subset_order):
+            card *= rates[i] * sel[i][i]
+            for prev in subset_order[:pos]:
+                card *= sel[prev][i] * sel[i][prev]
+        return card
+
+    for i in range(n):
+        s = frozenset([i])
+        best[s] = (rates[i] * sel[i][i], (i,))
+    for size in range(2, n + 1):
+        for subset in combinations(range(n), size):
+            s = frozenset(subset)
+            choice = None
+            for j in subset:
+                rest = s - {j}
+                rest_cost, rest_order = best[rest]
+                new_card = card_of(rest_order + (j,))
+                total = rest_cost + new_card
+                if choice is None or total < choice[0]:
+                    choice = (total, rest_order + (j,))
+            best[s] = choice
+    return list(best[frozenset(range(n))][1])
+
+
+_BUILDERS = {
+    TRIVIAL: order_trivial,
+    SORT_BY_FREQUENCY: order_by_frequency,
+    GREEDY: order_greedy,
+    DYNAMIC_PROGRAMMING: order_dynamic_programming,
+}
+
+
+def choose_order(n_args: int, statistics: Optional[dict],
+                 builder: str = TRIVIAL) -> List[int]:
+    """Returns the evaluation order of the top-level positive args."""
+    if builder == TRIVIAL or not statistics:
+        return list(range(n_args))
+    rates = statistics.get("arrival_rates")
+    sel = statistics.get("selectivity_matrix")
+    if rates is None or len(rates) < n_args:
+        return list(range(n_args))
+    if sel is None:
+        sel = [[1.0] * n_args for _ in range(n_args)]
+    return _BUILDERS[builder](n_args, rates, sel)
+
+
+def estimate_statistics_from_counts(type_counts: Dict[str, int],
+                                    arg_types: Sequence[str],
+                                    total_window_fraction: float = 1.0
+                                    ) -> dict:
+    """Builds a statistics dict from observed per-type event counts — the
+    engine-side analog of the reference's ArrivalRatesStatistics
+    (adaptive/statistics/Statistics.py:43-100)."""
+    rates = [type_counts.get(t, 0) * total_window_fraction
+             for t in arg_types]
+    return {"arrival_rates": rates}

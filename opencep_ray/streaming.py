@@ -1,0 +1,468 @@
+"""Streaming CEP engine: micro-batches → stateful actor pool → exactly-once
+Parquet sink with checkpointed offsets and per-partition lineage.
+
+This is the scale path of the engine (SURVEY.md §3.4 / §7.1 steps 4–5):
+
+* the input is an ordered, partitioned log (Parquet files read as
+  deterministic micro-batches);
+* each micro-batch is hash-routed by the conversation key to one of
+  ``num_workers`` stateful actors; actor tasks execute in submission order,
+  so per-conversation arrival order is preserved end-to-end (the
+  GroupByKey contract, reference
+  ``parallel/data_parallel/GroupByKeyParallelExecutionAlgorithm.py:13-21``);
+* workers hold ``{conv_id → ConversationEvaluator}`` plus per-conversation
+  arrival counters; watermark-driven eviction bounds state when the source
+  is timestamp-ordered;
+* the sink is idempotent: each (batch, worker) writes
+  ``part-b{batch:06d}-w{worker:03d}.parquet`` via tmp-file + atomic rename;
+  a manifest commits the completed batch id and the latest state
+  checkpoint, so a killed run resumes from the last checkpoint and
+  reproduces byte-identical output (re-processed batches overwrite their
+  own files deterministically — exactly-once by idempotence);
+* there is NO all-to-all barrier: routing, evaluation, and the sink
+  pipeline with the read.
+
+Unlike the reference (no checkpoint/resume, no spill, in-memory queues —
+SURVEY.md §2.9), recovery is a first-class design requirement here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from ray import cloudpickle as pickle
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from .engine import EngineConfig, MatchesEmitter
+from .evaluator import CompiledPattern, ConversationEvaluator, compile_patterns
+
+
+class _WorkerCore:
+    """The plain-Python core of a streaming worker (kept actor-free so it
+    can be unit-tested and pickled for checkpoints)."""
+
+    def __init__(self, compiled: List[CompiledPattern], cfg: EngineConfig,
+                 emitter):
+        self.compiled = compiled
+        self.cfg = cfg
+        self.emitter = emitter
+        self.evaluators: Dict[object, ConversationEvaluator] = {}
+        self.watermark_us = None
+        self.rows_processed = 0
+        self.busy_sec = 0.0
+        self.cp_by_id = {cp.pattern_id: cp for cp in compiled}
+        self.has_unbounded = any(cp.has_unbounded_negation
+                                 for cp in compiled)
+
+    # -- processing ---------------------------------------------------------
+    def process_shard(self, shard: pa.Table) -> pa.Table:
+        """Evaluates one routed shard, returning the matches table."""
+        import time as _t
+        _t0 = _t.perf_counter()
+        cfg = self.cfg
+        sort_keys = [(cfg.key_col, "ascending"), ("_ts_us", "ascending")]
+        for c in cfg.order_cols:
+            if c in shard.column_names:
+                sort_keys.append((c, "ascending"))
+        shard = shard.take(pc.sort_indices(shard, sort_keys=sort_keys))
+
+        keys = shard[cfg.key_col].to_pylist()
+        types = shard["_type"].to_pylist()
+        ts_us = shard["_ts_us"].to_pylist()
+        probs = shard[cfg.prob_col].to_pylist() if cfg.prob_col else None
+        payload_names = [c for c in shard.column_names
+                         if c not in ("_type", "_ts_us", "_part")]
+        if cfg.payload_cols is not None:
+            payload_names = [c for c in payload_names
+                             if c in cfg.payload_cols or c == cfg.key_col]
+        cols = {}
+        for c in payload_names:
+            cols[c] = ts_us if c == cfg.ts_col else shard[c].to_pylist()
+        col_items = list(cols.items())
+
+        rows = []
+        n = len(keys)
+        i = 0
+        while i < n:
+            key = keys[i]
+            ev = self.evaluators.get(key)
+            if ev is None:
+                ev = ConversationEvaluator(self.compiled)
+                self.evaluators[key] = ev
+            j = i
+            while j < n and keys[j] == key:
+                payload = {c: v[j] for c, v in col_items}
+                ev.process(payload, types[j], ts_us[j],
+                           probs[j] if probs else None)
+                j += 1
+            self._drain(key, ev, rows)
+            i = j
+        self.rows_processed += n
+        out = pa.Table.from_pylist(rows, schema=self.emitter.schema())
+        self.busy_sec += _t.perf_counter() - _t0
+        return out
+
+    def _drain(self, key, ev: ConversationEvaluator, rows: list):
+        if not ev.matches:
+            return
+        emit_row = self.emitter.row
+        for pid, pm in ev.matches:
+            rows.append(emit_row(pid, key, pm, self.cp_by_id[pid], ev))
+        ev.matches.clear()
+
+    def advance_watermark(self, wm_us: int) -> pa.Table:
+        """Event-time watermark: flush expired pending unbounded-negation
+        matches, then evict quiescent conversations (valid only for
+        ts-ordered sources)."""
+        self.watermark_us = wm_us
+        rows = []
+        dead = []
+        for key, ev in self.evaluators.items():
+            ev.advance_watermark(wm_us)
+            self._drain(key, ev, rows)
+            if ev.is_quiescent(wm_us):
+                dead.append(key)
+        for key in dead:
+            del self.evaluators[key]
+        return pa.Table.from_pylist(rows, schema=self.emitter.schema())
+
+    def eos(self) -> pa.Table:
+        rows = []
+        for key, ev in self.evaluators.items():
+            ev.eos()
+            self._drain(key, ev, rows)
+        return pa.Table.from_pylist(rows, schema=self.emitter.schema())
+
+    # -- state --------------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {"evaluators": self.evaluators,
+             "watermark_us": self.watermark_us,
+             "rows_processed": self.rows_processed})
+
+    def restore(self, blob: bytes):
+        state = pickle.loads(blob)
+        self.evaluators = state["evaluators"]
+        self.watermark_us = state["watermark_us"]
+        self.rows_processed = state["rows_processed"]
+
+
+@ray.remote
+class _StreamWorker:
+    """Stateful streaming worker: evaluation AND the per-partition sink
+    (each worker writes its own part files — the driver only sequences
+    batches and commits the manifest)."""
+
+    def __init__(self, worker_id, compiled, cfg, emitter, output_dir):
+        # one scheduling slot = one core: pin Arrow's internal pool so a
+        # worker can't silently use cores beyond its num_cpus reservation
+        # (keeps the two-parallelism-level scaling measurement honest)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        self.worker_id = worker_id
+        self.output_dir = output_dir
+        self.core = _WorkerCore(compiled, cfg, emitter)
+
+    def _write(self, table: pa.Table, batch_id: int, suffix: str = "") -> int:
+        if table.num_rows == 0:
+            return 0
+        tag = f"-{suffix}" if suffix else ""
+        path = os.path.join(
+            self.output_dir,
+            f"part-b{batch_id:06d}{tag}-w{self.worker_id:03d}.parquet")
+        tmp = path + f".tmp{self.worker_id}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)  # idempotent, atomic
+        return table.num_rows
+
+    def process(self, shard: pa.Table, batch_id: int) -> int:
+        return self._write(self.core.process_shard(shard), batch_id)
+
+    def advance_watermark(self, wm_us, batch_id: int) -> int:
+        if wm_us is None:
+            return 0
+        if self.core.watermark_us is not None \
+                and wm_us <= self.core.watermark_us:
+            return 0  # watermarks are monotone
+        return self._write(self.core.advance_watermark(wm_us), batch_id,
+                           suffix="wm")
+
+    def eos(self, batch_id: int) -> int:
+        return self._write(self.core.eos(), batch_id, suffix="eos")
+
+    def snapshot(self) -> bytes:
+        return self.core.snapshot()
+
+    def restore(self, blob: bytes) -> bool:
+        self.core.restore(blob)
+        return True
+
+    def stats(self) -> dict:
+        return {"rows": self.core.rows_processed,
+                "busy_sec": round(self.core.busy_sec, 3),
+                "live_conversations": len(self.core.evaluators)}
+
+
+class _Router:
+    """Vectorized hash routing of a raw micro-batch into worker shards."""
+
+    def __init__(self, cfg: EngineConfig, types_needed, num_workers: int):
+        self.cfg = cfg
+        self.types_needed = list(types_needed)
+        self.W = num_workers
+
+    def __call__(self, batch: pa.Table) -> List[pa.Table]:
+        import polars as pl
+        cfg = self.cfg
+        if cfg.type_fn is not None:
+            typ = cfg.type_fn(batch)
+        else:
+            typ = batch[cfg.type_col]
+        batch = batch.append_column("_type", pc.cast(typ, pa.string()))
+        batch = batch.filter(pc.is_in(
+            batch["_type"], value_set=pa.array(self.types_needed,
+                                               pa.string())))
+        ts_us = pc.cast(pc.cast(batch[cfg.ts_col], pa.timestamp("us")),
+                        pa.int64())
+        batch = batch.append_column("_ts_us", ts_us)
+        part = (pl.from_arrow(batch[cfg.key_col]).hash(seed=0)
+                % self.W).cast(pl.Int32)
+        batch = batch.append_column("_part", part.to_arrow())
+        # one stable sort by partition id, then zero-copy slices — O(n)
+        # instead of W full filter passes
+        import numpy as np
+        part_np = part.to_numpy()
+        order = np.argsort(part_np, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        counts = np.bincount(part_np, minlength=self.W)
+        offsets = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return [sorted_batch.slice(offsets[w], counts[w])
+                for w in range(self.W)]
+
+
+@ray.remote
+def _route_task(slices, router: "_Router"):
+    """Reads one micro-batch (a list of (path, row_group, lo, hi) slices)
+    and hash-routes it into worker shards.  Runs as a parallel task;
+    returns ``W`` shard tables plus the batch's max timestamp
+    (num_returns = W + 1)."""
+    parts = []
+    for path, rg, lo, hi in slices:
+        parts.append(pq.ParquetFile(path).read_row_group(rg)
+                     .slice(lo, hi - lo))
+    table = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    shards = router(table)
+    max_ts = None
+    if len(table):
+        max_ts = pc.max(pc.cast(pc.cast(table[router.cfg.ts_col],
+                                        pa.timestamp("us")),
+                                pa.int64())).as_py()
+    return (*shards, max_ts)
+
+
+class StreamingCEP:
+    """Micro-batch streaming CEP over Parquet files.
+
+    ``ts_ordered_input=True`` enables event-time watermarks (state eviction
+    + incremental unbounded-negation flush).  With conversation-contiguous
+    (non-ts-ordered) input the watermark stays at −∞ and pending matches
+    flush at end-of-stream — results are identical either way; only state
+    size and emission latency differ.
+    """
+
+    def __init__(self, patterns, cfg: Optional[EngineConfig] = None,
+                 num_workers: int = 8, emitter=None,
+                 checkpoint_every: int = 8,
+                 ts_ordered_input: bool = False):
+        self.cfg = cfg or EngineConfig()
+        self.compiled = compile_patterns(patterns)
+        self.types_needed = frozenset(
+            t for cp in self.compiled for t in cp.routes)
+        self.num_workers = num_workers
+        self.emitter = emitter
+        self.checkpoint_every = checkpoint_every
+        self.ts_ordered_input = ts_ordered_input
+
+    # -- source -------------------------------------------------------------
+    def _micro_batch_plan(self, files: Sequence[str],
+                          micro_batch_rows: int):
+        """Deterministic micro-batch plan: (batch_id, [(file, row_group,
+        lo, hi), ...]) — row-group slices coalesced up to
+        ``micro_batch_rows`` rows per batch, in file → row-group order.
+        Resume replays the identical sequence; reads run as parallel
+        tasks."""
+        batch_id = 0
+        cur: List[tuple] = []
+        cur_rows = 0
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            for rg in range(md.num_row_groups):
+                n = md.row_group(rg).num_rows
+                lo = 0
+                while lo < n:
+                    take = min(micro_batch_rows - cur_rows, n - lo)
+                    cur.append((path, rg, lo, lo + take))
+                    cur_rows += take
+                    lo += take
+                    if cur_rows >= micro_batch_rows:
+                        yield batch_id, cur
+                        batch_id += 1
+                        cur, cur_rows = [], 0
+        if cur:
+            yield batch_id, cur
+
+    # -- run ----------------------------------------------------------------
+    def run_files(self, files: Sequence[str], output_dir: str,
+                  micro_batch_rows: int = 100_000,
+                  resume: bool = True, max_in_flight: int = 4) -> dict:
+        import time as _time
+        t_start = _time.perf_counter()
+        os.makedirs(output_dir, exist_ok=True)
+        manifest_path = os.path.join(output_dir, "manifest.json")
+        state_dir = os.path.join(output_dir, "_state")
+        os.makedirs(state_dir, exist_ok=True)
+
+        emitter = self.emitter or self._default_emitter(files[0])
+        router = _Router(self.cfg, self.types_needed, self.num_workers)
+        workers = [_StreamWorker.remote(w, self.compiled, self.cfg, emitter,
+                                        output_dir)
+                   for w in range(self.num_workers)]
+
+        start_after = -1
+        if resume and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            ck = manifest.get("checkpoint")
+            if ck is not None:
+                blobs = [open(p, "rb").read() for p in ck["files"]]
+                ray.get([w.restore.remote(b)
+                         for w, b in zip(workers, blobs)])
+                start_after = ck["batch_id"]
+            print(f"[stream] resuming after batch {start_after}",
+                  file=sys.stderr)
+
+        # force actor construction now so setup cost is attributable
+        # (long-lived pool on a real cluster ≠ per-job cost)
+        ray.get([w.stats.remote() for w in workers])
+        t_ready = _time.perf_counter()
+
+        # All actor calls for a batch (process → watermark-flush →
+        # snapshot) are submitted IN ORDER at submission time: actor task
+        # queues guarantee the snapshot captures exactly the state as of
+        # its batch, even while later batches are already queued — so a
+        # checkpoint never leaks post-checkpoint state (a drain-time
+        # snapshot would).  Output writes + manifest commits happen at
+        # drain time, strictly in batch order.
+        in_flight: List[tuple] = []  # (batch_id, refs, wm_refs, snap_refs)
+        last_ck_scheduled = start_after
+        n_batches = 0
+
+        def drain_one():
+            batch_id, refs, wm_refs, snap_refs = in_flight.pop(0)
+            ray.get(refs)          # workers wrote their own part files
+            if wm_refs is not None:
+                ray.get(wm_refs)
+            if snap_refs is not None:
+                ck_files = []
+                for wi, blob in enumerate(ray.get(snap_refs)):
+                    p = os.path.join(state_dir,
+                                     f"ck-b{batch_id:06d}-w{wi:03d}.bin")
+                    _atomic_write_bytes(p, blob)
+                    ck_files.append(p)
+                _atomic_write_json(manifest_path, {
+                    "checkpoint": {"batch_id": batch_id,
+                                   "files": ck_files},
+                    "eos": False,
+                })
+
+        W = self.num_workers
+        # fractional CPU: route tasks interleave with the actor pool even
+        # when workers reserve nearly every scheduling slot
+        route = _route_task.options(num_returns=W + 1, num_cpus=0.5)
+        for batch_id, slices in self._micro_batch_plan(
+                files, micro_batch_rows):
+            if batch_id <= start_after:
+                continue
+            # read + hash-route in a parallel task; shards flow to the
+            # workers by object reference (never through the driver)
+            *shard_refs, max_ts_ref = route.remote(slices, router)
+            refs = [workers[w].process.remote(shard_refs[w], batch_id)
+                    for w in range(W)]
+            wm_refs = None
+            if self.ts_ordered_input:
+                wm_refs = [w.advance_watermark.remote(max_ts_ref, batch_id)
+                           for w in workers]
+            snap_refs = None
+            if (batch_id - last_ck_scheduled) >= self.checkpoint_every:
+                snap_refs = [w.snapshot.remote() for w in workers]
+                last_ck_scheduled = batch_id
+            in_flight.append((batch_id, refs, wm_refs, snap_refs))
+            n_batches += 1
+            while len(in_flight) >= max_in_flight:
+                drain_one()
+        while in_flight:
+            drain_one()
+
+        # end of stream: flush pending unbounded-negation matches
+        ray.get([w.eos.remote(999_999) for w in workers])
+        stats = ray.get([w.stats.remote() for w in workers])
+        _atomic_write_json(manifest_path, {
+            "checkpoint": None, "eos": True,
+            "batches": n_batches,
+            "rows": sum(s["rows"] for s in stats),
+        })
+        t_done = _time.perf_counter()
+        for w in workers:
+            ray.kill(w)
+        return {"batches": n_batches,
+                "rows": sum(s["rows"] for s in stats),
+                "workers": self.num_workers,
+                "setup_sec": round(t_ready - t_start, 3),
+                "stream_sec": round(t_done - t_ready, 3),
+                "worker_busy_sec": round(sum(s["busy_sec"]
+                                             for s in stats), 3),
+                "max_worker_busy_sec": round(max(s["busy_sec"]
+                                                 for s in stats), 3)}
+
+    def _default_emitter(self, sample_file: str):
+        schema = pq.read_schema(sample_file)
+        fields = []
+        for f in schema:
+            if self.cfg.payload_cols is not None \
+                    and f.name != self.cfg.key_col \
+                    and f.name not in self.cfg.payload_cols:
+                continue
+            fields.append(f)
+        return MatchesEmitter(self.cfg, pa.schema(fields))
+
+
+def read_matches(output_dir: str) -> pa.Table:
+    """Reads a streaming run's committed output as one table."""
+    import glob
+    files = sorted(glob.glob(os.path.join(output_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no output parts under {output_dir}")
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _atomic_write_bytes(path: str, blob: bytes):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def _atomic_write_json(path: str, obj):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)

@@ -1,0 +1,131 @@
+"""Streaming engine: equivalence with the batch engine, checkpoint/resume
+with byte-identical output, watermark-driven state eviction."""
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from opencep_ray import (Kleene, Neg, Pattern, Primitive, Seq,
+                         SimpleCondition, Variable)
+from opencep_ray.engine import CEP, transcript_config
+from opencep_ray.sources.transcripts import synth_transcripts, text_v
+from opencep_ray.streaming import StreamingCEP, read_matches
+
+PATTERNS = [
+    Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+            SimpleCondition(Variable("a", text_v), Variable("b", text_v),
+                            relation_op=lambda x, y: y > x),
+            window=120, pattern_id=1),
+    Pattern(Seq(Primitive("user", "a"),
+                Kleene(Primitive("assistant", "b"), max_size=3),
+                Primitive("tool", "c")),
+            window=180, pattern_id=2),
+    Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                Primitive("assistant", "b")),
+            window=150, pattern_id=3),
+]
+
+
+def canonical(table: pa.Table):
+    out = []
+    for r in table.to_pylist():
+        ev_key = tuple((e["turn_idx"], e["role"], e["text"])
+                       for e in r["match_events"])
+        out.append((r["pattern_id"], r["conv_id"], ev_key))
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def input_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    table = synth_transcripts(120, 14, seed=21)
+    # several files, conversations contiguous, one conv split across files
+    n = table.num_rows
+    cuts = [0, n // 3 + 5, 2 * n // 3 - 3, n]
+    files = []
+    for i in range(3):
+        p = str(d / f"part-{i}.parquet")
+        pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]), p)
+        files.append(p)
+    return files, table
+
+
+def test_stream_equals_batch(ray_session, input_files, tmp_path):
+    files, table = input_files
+    out_dir = str(tmp_path / "out")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    stats = s.run_files(files, out_dir, micro_batch_rows=200)
+    got = canonical(read_matches(out_dir))
+
+    cep = CEP(PATTERNS, transcript_config(num_partitions=5))
+    want = canonical(cep.run_table(table))
+    assert got == want
+    assert len(got) > 0
+    assert stats["rows"] > 0
+
+
+def test_resume_byte_identical(ray_session, input_files, tmp_path):
+    files, table = input_files
+    full_dir = str(tmp_path / "full")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                     checkpoint_every=2)
+    s.run_files(files, full_dir, micro_batch_rows=150)
+    full = canonical(read_matches(full_dir))
+
+    # simulate a crash: run only a prefix of batches by truncating the file
+    # list mid-stream, keeping the manifest/checkpoint, then resume
+    crash_dir = str(tmp_path / "crash")
+
+    class CrashingStream(StreamingCEP):
+        def _micro_batch_plan(self, files_, rows):
+            for item in super()._micro_batch_plan(files_, rows):
+                if item[0] >= 7:
+                    raise RuntimeError("simulated crash")
+                yield item
+
+    s2 = CrashingStream(PATTERNS, transcript_config(), num_workers=3,
+                        checkpoint_every=2)
+    with pytest.raises(RuntimeError):
+        s2.run_files(files, crash_dir, micro_batch_rows=150)
+    assert os.path.exists(os.path.join(crash_dir, "manifest.json"))
+
+    s3 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      checkpoint_every=2)
+    s3.run_files(files, crash_dir, micro_batch_rows=150, resume=True)
+    resumed = canonical(read_matches(crash_dir))
+    assert resumed == full
+
+    # byte-level: same part files, same contents
+    full_files = sorted(os.path.basename(p) for p in
+                        glob.glob(os.path.join(full_dir, "part-*.parquet")))
+    crash_files = sorted(os.path.basename(p) for p in
+                         glob.glob(os.path.join(crash_dir,
+                                                "part-*.parquet")))
+    assert full_files == crash_files
+    for name in full_files:
+        a = pq.read_table(os.path.join(full_dir, name))
+        b = pq.read_table(os.path.join(crash_dir, name))
+        assert a.equals(b), f"content mismatch in {name}"
+
+
+def test_watermark_eviction(ray_session, tmp_path):
+    # ts-ordered input: state must shrink as the watermark advances
+    table = synth_transcripts(200, 12, seed=33)
+    table = table.take(pc.sort_indices(
+        table, sort_keys=[("ts", "ascending"), ("conv_id", "ascending"),
+                          ("turn_idx", "ascending")]))
+    src = str(tmp_path / "sorted.parquet")
+    pq.write_table(table, src)
+    out_dir = str(tmp_path / "out")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=2,
+                     ts_ordered_input=True)
+    s.run_files([src], out_dir, micro_batch_rows=300)
+    got = canonical(read_matches(out_dir))
+    cep = CEP(PATTERNS, transcript_config(num_partitions=4))
+    want = canonical(cep.run_table(table))
+    assert got == want
