@@ -60,7 +60,9 @@ class EngineConfig:
                  order_cols: Sequence[str] = ("turn_idx",),
                  payload_cols: Optional[Sequence[str]] = None,
                  prob_col: Optional[str] = None,
-                 num_partitions: int = 64):
+                 num_partitions: int = 64,
+                 hot_keys: Optional[Sequence] = None,
+                 slice_multiple: int = 12):
         self.key_col = key_col
         self.ts_col = ts_col
         self.type_col = type_col
@@ -69,11 +71,18 @@ class EngineConfig:
         self.payload_cols = tuple(payload_cols) if payload_cols else None
         self.prob_col = prob_col
         self.num_partitions = num_partitions
+        # skew handling: hot keys are split into time slices of
+        # ``slice_multiple × max-window`` with one-window overlap; a match
+        # is emitted only by its owner slice (first-owner-wins invariant,
+        # reference parallel/data_parallel/RIPParallelExecutionAlgorithm.py:45-52)
+        self.hot_keys = frozenset(hot_keys) if hot_keys else frozenset()
+        self.slice_multiple = slice_multiple
 
 
 def transcript_config(num_partitions: int = 64,
                       payload_cols: Optional[Sequence[str]] = None,
-                      tool_as_type: bool = False) -> EngineConfig:
+                      tool_as_type: bool = False,
+                      hot_keys: Optional[Sequence] = None) -> EngineConfig:
     """Config for the canonical transcripts table (BASELINE input_hint).
     With ``tool_as_type`` the event type is the tool name on tool turns and
     the role otherwise."""
@@ -84,11 +93,33 @@ def transcript_config(num_partitions: int = 64,
     return EngineConfig(key_col="conv_id", ts_col="ts", type_col="role",
                         type_fn=type_fn, order_cols=("turn_idx",),
                         payload_cols=payload_cols,
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions,
+                        hot_keys=hot_keys)
 
 
 # ---------------------------------------------------------------------------
 # Emitters: how a PM becomes output rows
+
+
+def detect_hot_keys(ds, key_col: str, threshold_rows: int = 100_000,
+                    top_k: int = 64):
+    """Pre-pass hot-key detector: per-key counts via partial aggregation
+    (one small shuffle of (key, count) partials), returning keys whose
+    event count exceeds ``threshold_rows`` (capped at ``top_k``).  Feed
+    the result into ``EngineConfig(hot_keys=...)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(batch.select([key_col]))
+                .group_by(key_col).agg(pl.len().cast(pl.Int64).alias("_n"))
+                .to_arrow())
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key_col).aggregate(Sum("_n", alias_name="n")))
+    hot = counts.filter(lambda r: r["n"] >= threshold_rows) \
+        .sort("n", descending=True).limit(top_k).to_pandas()
+    return frozenset(hot[key_col].tolist())
 
 
 class MatchesEmitter:
@@ -162,15 +193,27 @@ class BindingsEmitter:
 # Stage callables (picklable; shipped to workers once)
 
 
+_SLICE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 class _Prep:
     """Vectorized pre-shuffle stage: project, derive type, prefilter,
-    µs timestamps, deterministic partition id."""
+    µs timestamps, deterministic partition id.
+
+    Hot keys (``cfg.hot_keys``) are split into time slices of
+    ``slice_len_us`` with a one-window overlap: each hot row is assigned
+    its own slice and, when it falls within one window after a slice
+    boundary, duplicated into the previous slice.  Every ≤window match is
+    then fully contained in its owner slice (the slice of its first
+    timestamp) and emitted exactly once — the RIP invariant."""
 
     def __init__(self, cfg: EngineConfig, types_needed: frozenset,
-                 num_partitions: int):
+                 num_partitions: int, max_window_us: int = 0):
         self.cfg = cfg
         self.types_needed = list(types_needed)
         self.P = num_partitions
+        self.max_window_us = max_window_us
+        self.slice_len_us = max(1, cfg.slice_multiple * max_window_us)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -189,9 +232,42 @@ class _Prep:
         ts_us = pc.cast(pc.cast(batch[self.cfg.ts_col], pa.timestamp("us")),
                         pa.int64())
         batch = batch.append_column("_ts_us", ts_us)
-        key_hash = pl.from_arrow(batch[cfg.key_col]).hash(seed=0)
-        part = (key_hash % self.P).cast(pl.Int32)
-        return batch.append_column("_part", part.to_arrow())
+
+        n = batch.num_rows
+        ts_np = ts_us.to_numpy() if n else np.empty(0, dtype=np.int64)
+        slice_arr = np.full(n, -1, dtype=np.int64)
+        if cfg.hot_keys and n:
+            L = self.slice_len_us
+            hot_mask = pc.is_in(
+                batch[cfg.key_col],
+                value_set=pa.array(list(cfg.hot_keys))).to_numpy(
+                    zero_copy_only=False)
+            if hot_mask.any():
+                s1 = ts_np // L
+                slice_arr[hot_mask] = s1[hot_mask]
+                # overlap: rows within one window after a slice start also
+                # belong to the previous slice
+                s2 = (ts_np - self.max_window_us) // L
+                dup_idx = np.flatnonzero(hot_mask & (s2 != s1))
+                if len(dup_idx):
+                    dup = batch.take(pa.array(dup_idx))
+                    dup = dup.append_column(
+                        "_slice", pa.array(s2[dup_idx], pa.int64()))
+                    batch = batch.append_column(
+                        "_slice", pa.array(slice_arr, pa.int64()))
+                    batch = pa.concat_tables([batch, dup])
+                    return self._with_part(batch)
+        batch = batch.append_column("_slice", pa.array(slice_arr, pa.int64()))
+        return self._with_part(batch)
+
+    def _with_part(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        key_hash = pl.from_arrow(batch[self.cfg.key_col]) \
+            .hash(seed=0).to_numpy().astype(np.uint64)
+        slices = batch["_slice"].to_numpy().astype(np.int64)
+        mixed = key_hash + (slices + 1).astype(np.uint64) * _SLICE_MIX
+        part = (mixed % np.uint64(self.P)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part))
 
 
 class _PartitionCEP:
@@ -199,17 +275,21 @@ class _PartitionCEP:
     fresh ConversationEvaluator per key, emit matches."""
 
     def __init__(self, compiled: List[CompiledPattern], cfg: EngineConfig,
-                 emitter):
+                 emitter, slice_len_us: int = 1):
         self.compiled = compiled
         self.cfg = cfg
         self.emitter = emitter
+        self.slice_len_us = slice_len_us
         self.__name__ = "PartitionCEP"  # Ray's map_groups wants a fn name
 
     def __call__(self, group: pa.Table) -> pa.Table:
         cfg = self.cfg
         if group.num_rows == 0:
             return pa.Table.from_pylist([], schema=self.emitter.schema())
-        sort_keys = [(cfg.key_col, "ascending"), ("_ts_us", "ascending")]
+        sort_keys = [(cfg.key_col, "ascending")]
+        if "_slice" in group.column_names:
+            sort_keys.append(("_slice", "ascending"))
+        sort_keys.append(("_ts_us", "ascending"))
         for c in cfg.order_cols:
             if c in group.column_names:
                 sort_keys.append((c, "ascending"))
@@ -217,11 +297,13 @@ class _PartitionCEP:
         group = group.take(idx)
 
         keys = group[cfg.key_col].to_pylist()
+        slices = group["_slice"].to_numpy() \
+            if "_slice" in group.column_names else None
         types = group["_type"].to_pylist()
         ts_us = group["_ts_us"].to_pylist()
         probs = group[cfg.prob_col].to_pylist() if cfg.prob_col else None
         payload_names = [c for c in group.column_names
-                         if c not in ("_type", "_ts_us", "_part")]
+                         if c not in ("_type", "_ts_us", "_part", "_slice")]
         if cfg.payload_cols is not None:
             payload_names = [c for c in payload_names
                              if c in cfg.payload_cols or c == cfg.key_col]
@@ -237,18 +319,23 @@ class _PartitionCEP:
         n = group.num_rows
         emit_row = self.emitter.row
         cp_by_id = {cp.pattern_id: cp for cp in self.compiled}
+        L = self.slice_len_us
         i = 0
         while i < n:
             key = keys[i]
+            cur_slice = int(slices[i]) if slices is not None else -1
             j = i
             ev = ConversationEvaluator(self.compiled)
-            while j < n and keys[j] == key:
+            while j < n and keys[j] == key and \
+                    (slices is None or slices[j] == cur_slice):
                 payload = {c: v[j] for c, v in col_items}
                 ev.process(payload, types[j], ts_us[j],
                            probs[j] if probs else None)
                 j += 1
             ev.eos()
             for pid, pm in ev.matches:
+                if cur_slice >= 0 and pm.first_ts // L != cur_slice:
+                    continue  # another slice owns this match (RIP dedup)
                 rows.append(emit_row(pid, key, pm, cp_by_id[pid], ev))
             i = j
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
@@ -268,6 +355,7 @@ class CEP:
         self.compiled = compile_patterns(patterns)
         self.types_needed = frozenset(
             t for cp in self.compiled for t in cp.routes)
+        self.max_window_us = max(cp.window_us for cp in self.compiled)
         self.emitter = emitter
 
     def _emitter_for(self, schema: pa.Schema):
@@ -291,8 +379,10 @@ class CEP:
         the sort emits ~``num_partitions`` blocks — otherwise the group
         stage's parallelism is capped at the input file count."""
         emitter = self._emitter_for(ds.schema().base_schema)
-        prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions)
-        evaluate = _PartitionCEP(self.compiled, self.cfg, emitter)
+        prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions,
+                     self.max_window_us)
+        evaluate = _PartitionCEP(self.compiled, self.cfg, emitter,
+                                 prep.slice_len_us)
         return (ds.map_batches(prep, batch_format="pyarrow")
                 .repartition(self.cfg.num_partitions)
                 .groupby("_part")
@@ -302,9 +392,11 @@ class CEP:
         """Single-process path (tests, tiny inputs): identical semantics,
         no Ray session required."""
         emitter = self._emitter_for(table.schema)
-        prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions)
+        prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions,
+                     self.max_window_us)
         prepped = prep(table)
-        evaluate = _PartitionCEP(self.compiled, self.cfg, emitter)
+        evaluate = _PartitionCEP(self.compiled, self.cfg, emitter,
+                                 prep.slice_len_us)
         parts = []
         if prepped.num_rows:
             for p in pc.unique(prepped["_part"]).to_pylist():

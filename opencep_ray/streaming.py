@@ -50,10 +50,12 @@ class _WorkerCore:
     can be unit-tested and pickled for checkpoints)."""
 
     def __init__(self, compiled: List[CompiledPattern], cfg: EngineConfig,
-                 emitter):
+                 emitter, slice_len_us: int = 1):
         self.compiled = compiled
         self.cfg = cfg
         self.emitter = emitter
+        self.slice_len_us = slice_len_us
+        # keyed by (conv_id, slice); slice is -1 for non-hot keys
         self.evaluators: Dict[object, ConversationEvaluator] = {}
         self.watermark_us = None
         self.rows_processed = 0
@@ -68,18 +70,23 @@ class _WorkerCore:
         import time as _t
         _t0 = _t.perf_counter()
         cfg = self.cfg
-        sort_keys = [(cfg.key_col, "ascending"), ("_ts_us", "ascending")]
+        sort_keys = [(cfg.key_col, "ascending")]
+        if "_slice" in shard.column_names:
+            sort_keys.append(("_slice", "ascending"))
+        sort_keys.append(("_ts_us", "ascending"))
         for c in cfg.order_cols:
             if c in shard.column_names:
                 sort_keys.append((c, "ascending"))
         shard = shard.take(pc.sort_indices(shard, sort_keys=sort_keys))
 
         keys = shard[cfg.key_col].to_pylist()
+        slices = shard["_slice"].to_numpy() \
+            if "_slice" in shard.column_names else None
         types = shard["_type"].to_pylist()
         ts_us = shard["_ts_us"].to_pylist()
         probs = shard[cfg.prob_col].to_pylist() if cfg.prob_col else None
         payload_names = [c for c in shard.column_names
-                         if c not in ("_type", "_ts_us", "_part")]
+                         if c not in ("_type", "_ts_us", "_part", "_slice")]
         if cfg.payload_cols is not None:
             payload_names = [c for c in payload_names
                              if c in cfg.payload_cols or c == cfg.key_col]
@@ -93,28 +100,35 @@ class _WorkerCore:
         i = 0
         while i < n:
             key = keys[i]
-            ev = self.evaluators.get(key)
+            cur_slice = int(slices[i]) if slices is not None else -1
+            ev_key = key if cur_slice < 0 else (key, cur_slice)
+            ev = self.evaluators.get(ev_key)
             if ev is None:
                 ev = ConversationEvaluator(self.compiled)
-                self.evaluators[key] = ev
+                self.evaluators[ev_key] = ev
             j = i
-            while j < n and keys[j] == key:
+            while j < n and keys[j] == key and \
+                    (slices is None or slices[j] == cur_slice):
                 payload = {c: v[j] for c, v in col_items}
                 ev.process(payload, types[j], ts_us[j],
                            probs[j] if probs else None)
                 j += 1
-            self._drain(key, ev, rows)
+            self._drain(key, cur_slice, ev, rows)
             i = j
         self.rows_processed += n
         out = pa.Table.from_pylist(rows, schema=self.emitter.schema())
         self.busy_sec += _t.perf_counter() - _t0
         return out
 
-    def _drain(self, key, ev: ConversationEvaluator, rows: list):
+    def _drain(self, key, cur_slice: int, ev: ConversationEvaluator,
+               rows: list):
         if not ev.matches:
             return
         emit_row = self.emitter.row
+        L = self.slice_len_us
         for pid, pm in ev.matches:
+            if cur_slice >= 0 and pm.first_ts // L != cur_slice:
+                continue  # another slice owns this match (RIP dedup)
             rows.append(emit_row(pid, key, pm, self.cp_by_id[pid], ev))
         ev.matches.clear()
 
@@ -125,20 +139,22 @@ class _WorkerCore:
         self.watermark_us = wm_us
         rows = []
         dead = []
-        for key, ev in self.evaluators.items():
+        for ev_key, ev in self.evaluators.items():
+            conv, sl = ev_key if isinstance(ev_key, tuple) else (ev_key, -1)
             ev.advance_watermark(wm_us)
-            self._drain(key, ev, rows)
+            self._drain(conv, sl, ev, rows)
             if ev.is_quiescent(wm_us):
-                dead.append(key)
-        for key in dead:
-            del self.evaluators[key]
+                dead.append(ev_key)
+        for ev_key in dead:
+            del self.evaluators[ev_key]
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
 
     def eos(self) -> pa.Table:
         rows = []
-        for key, ev in self.evaluators.items():
+        for ev_key, ev in self.evaluators.items():
+            conv, sl = ev_key if isinstance(ev_key, tuple) else (ev_key, -1)
             ev.eos()
-            self._drain(key, ev, rows)
+            self._drain(conv, sl, ev, rows)
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
 
     # -- state --------------------------------------------------------------
@@ -161,7 +177,8 @@ class _StreamWorker:
     (each worker writes its own part files — the driver only sequences
     batches and commits the manifest)."""
 
-    def __init__(self, worker_id, compiled, cfg, emitter, output_dir):
+    def __init__(self, worker_id, compiled, cfg, emitter, output_dir,
+                 slice_len_us: int = 1):
         # one scheduling slot = one core: pin Arrow's internal pool so a
         # worker can't silently use cores beyond its num_cpus reservation
         # (keeps the two-parallelism-level scaling measurement honest)
@@ -169,7 +186,7 @@ class _StreamWorker:
         pa.set_io_thread_count(2)
         self.worker_id = worker_id
         self.output_dir = output_dir
-        self.core = _WorkerCore(compiled, cfg, emitter)
+        self.core = _WorkerCore(compiled, cfg, emitter, slice_len_us)
 
     def _write(self, table: pa.Table, batch_id: int, suffix: str = "") -> int:
         if table.num_rows == 0:
@@ -212,37 +229,25 @@ class _StreamWorker:
 
 
 class _Router:
-    """Vectorized hash routing of a raw micro-batch into worker shards."""
+    """Vectorized hash routing of a raw micro-batch into worker shards.
+    Shares the batch-engine prep (type filter, µs timestamps, hot-key
+    time-slice salting) and splits by one stable sort + zero-copy slices
+    instead of W filter passes."""
 
-    def __init__(self, cfg: EngineConfig, types_needed, num_workers: int):
+    def __init__(self, cfg: EngineConfig, types_needed, num_workers: int,
+                 max_window_us: int = 0):
+        from .engine import _Prep
         self.cfg = cfg
-        self.types_needed = list(types_needed)
         self.W = num_workers
+        self.prep = _Prep(cfg, types_needed, num_workers, max_window_us)
 
     def __call__(self, batch: pa.Table) -> List[pa.Table]:
-        import polars as pl
-        cfg = self.cfg
-        if cfg.type_fn is not None:
-            typ = cfg.type_fn(batch)
-        else:
-            typ = batch[cfg.type_col]
-        batch = batch.append_column("_type", pc.cast(typ, pa.string()))
-        batch = batch.filter(pc.is_in(
-            batch["_type"], value_set=pa.array(self.types_needed,
-                                               pa.string())))
-        ts_us = pc.cast(pc.cast(batch[cfg.ts_col], pa.timestamp("us")),
-                        pa.int64())
-        batch = batch.append_column("_ts_us", ts_us)
-        part = (pl.from_arrow(batch[cfg.key_col]).hash(seed=0)
-                % self.W).cast(pl.Int32)
-        batch = batch.append_column("_part", part.to_arrow())
-        # one stable sort by partition id, then zero-copy slices — O(n)
-        # instead of W full filter passes
         import numpy as np
-        part_np = part.to_numpy()
+        batch = self.prep(batch)
+        part_np = batch["_part"].to_numpy()
         order = np.argsort(part_np, kind="stable")
         sorted_batch = batch.take(pa.array(order))
-        counts = np.bincount(part_np, minlength=self.W)
+        counts = np.bincount(part_np[order], minlength=self.W)
         offsets = np.zeros(self.W + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         return [sorted_batch.slice(offsets[w], counts[w])
@@ -287,6 +292,7 @@ class StreamingCEP:
         self.compiled = compile_patterns(patterns)
         self.types_needed = frozenset(
             t for cp in self.compiled for t in cp.routes)
+        self.max_window_us = max(cp.window_us for cp in self.compiled)
         self.num_workers = num_workers
         self.emitter = emitter
         self.checkpoint_every = checkpoint_every
@@ -332,9 +338,11 @@ class StreamingCEP:
         os.makedirs(state_dir, exist_ok=True)
 
         emitter = self.emitter or self._default_emitter(files[0])
-        router = _Router(self.cfg, self.types_needed, self.num_workers)
+        router = _Router(self.cfg, self.types_needed, self.num_workers,
+                         self.max_window_us)
         workers = [_StreamWorker.remote(w, self.compiled, self.cfg, emitter,
-                                        output_dir)
+                                        output_dir,
+                                        router.prep.slice_len_us)
                    for w in range(self.num_workers)]
 
         start_after = -1
