@@ -92,8 +92,11 @@ def q_cep_stream():
     files = sorted(glob.glob(f"{ensure_bench_transcripts()}/*.parquet"))
     out = "/tmp/graft_bench/stream_out"
     shutil.rmtree(out, ignore_errors=True)
+    # workers scale proportionally with cluster size (7/8 of CPUs, the
+    # rest left for route tasks + driver) so the two scaling levels
+    # compare like-for-like
     s = StreamingCEP(patterns, transcript_config(),
-                     num_workers=max(2, NUM_CPUS - 2),
+                     num_workers=max(2, (NUM_CPUS * 7) // 8),
                      checkpoint_every=10 ** 9)
     stats = s.run_files(files, out, micro_batch_rows=300_000,
                         max_in_flight=8)

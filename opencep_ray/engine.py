@@ -297,7 +297,7 @@ class _PartitionCEP:
         group = group.take(idx)
 
         keys = group[cfg.key_col].to_pylist()
-        slices = group["_slice"].to_numpy() \
+        slices = group["_slice"].to_numpy().tolist() \
             if "_slice" in group.column_names else None
         types = group["_type"].to_pylist()
         ts_us = group["_ts_us"].to_pylist()

@@ -80,7 +80,7 @@ class _WorkerCore:
         shard = shard.take(pc.sort_indices(shard, sort_keys=sort_keys))
 
         keys = shard[cfg.key_col].to_pylist()
-        slices = shard["_slice"].to_numpy() \
+        slices = shard["_slice"].to_numpy().tolist() \
             if "_slice" in shard.column_names else None
         types = shard["_type"].to_pylist()
         ts_us = shard["_ts_us"].to_pylist()
