@@ -1,0 +1,137 @@
+"""Unit tests for the training-data stages that have no SQL oracle:
+MinHash-LSH on planted near-duplicates, SimHash, lang-ID accuracy,
+fingerprint determinism, IVF-ANN recall, multimodal plumbing, windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_with_planted_dups(n=60, seed=4):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(n)]
+    # plant near-duplicates: copy with small edits
+    texts.append(texts[0])                                # exact dup of 0
+    toks = texts[1].split()
+    toks[3] = "CHANGED"
+    texts.append(" ".join(toks))                          # near dup of 1
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.dedup import (minhash_lsh_candidates,
+                                          verify_jaccard)
+    table = _docs_with_planted_dups()
+    ds = rd.from_arrow(table)
+    cands = minhash_lsh_candidates(ds, shingle_k=3).to_pandas()
+    pairs = set(zip(cands.id_a, cands.id_b))
+    assert (0, 60) in pairs          # exact duplicate pair
+    assert (1, 61) in pairs          # near duplicate pair
+    verified = verify_jaccard(rd.from_arrow(cands[["id_a", "id_b"]]
+                                            .reset_index(drop=True)
+                                            .pipe(pa.Table.from_pandas)),
+                              rd.from_arrow(table), threshold=0.5)
+    vdf = verified.to_pandas()
+    vpairs = dict(zip(zip(vdf.id_a, vdf.id_b), vdf.jaccard))
+    assert vpairs[(0, 60)] == 1.0
+    assert 0.5 < vpairs[(1, 61)] < 1.0
+
+
+def test_simhash_identical_docs(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.dedup import simhash_candidates
+    table = _docs_with_planted_dups()
+    out = simhash_candidates(rd.from_arrow(table), max_hamming=3).to_pandas()
+    pairs = dict(zip(zip(out.id_a, out.id_b), out.hamming))
+    assert pairs.get((0, 60)) == 0
+    assert pairs.get((1, 61), 99) <= 3
+
+
+def test_langid_real_sentences():
+    from opencep_ray.stages.text import LangId
+    li = LangId()
+    samples = {
+        "en": "the cat sat on the mat and it is happy with the sun",
+        "de": "der hund ist nicht mit der katze und das ist ein problem",
+        "fr": "le chat est dans la maison et les oiseaux sont pour toi une surprise",
+        "es": "el perro es grande y la casa es bonita por una razón con luz",
+        "zh": "这是一个中文句子",
+    }
+    for lang, text in samples.items():
+        assert li.detect(text) == lang, (lang, text)
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    from opencep_ray.stages.text import Fingerprint
+    fp = Fingerprint()
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "a completely different sentence with other words entirely here"
+    assert fp.doc_fingerprint(a) == Fingerprint().doc_fingerprint(a)
+    assert fp.doc_fingerprint(a) != fp.doc_fingerprint(b)
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.ann import ann_brute_force, ann_ivf
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(400, 32).astype(np.float32)
+    table = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.array(vecs.tolist(),
+                                            pa.list_(pa.float32()))})
+    q_ids = [0, 1, 2, 3]
+    q_vecs = [vecs[i].tolist() for i in q_ids]
+    exact = ann_brute_force(rd.from_arrow(table), q_ids, q_vecs,
+                            k=10).to_pandas()
+    approx = ann_ivf(rd.from_arrow(table), q_ids, q_vecs, k=10,
+                     n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for q in q_ids:
+        e = set(exact[exact.q_id == q].neighbor_id)
+        a = set(approx[approx.q_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+    # the query itself is always its own top-1
+    for q in q_ids:
+        top1 = exact[(exact.q_id == q) & (exact.nn_rank == 1)]
+        assert len(top1) == 1 and int(top1.neighbor_id.iloc[0]) == q
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.multimodal import (DecodeImage, FrameSample,
+                                               decode_features, synth_media)
+    media = synth_media(32, seed=2)
+    out = decode_features(rd.from_arrow(media), batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert len(out.features.iloc[0]) == DecodeImage.FEATURE_DIM
+    assert "payload" not in out.columns       # binary dropped post-decode
+    # deterministic features
+    out2 = decode_features(rd.from_arrow(media), batch_size=16).to_pandas()
+    assert out.features.iloc[0] == pytest.approx(out2.features.iloc[0])
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeImage(real_decode=True).features(b"xx")
+    frames = rd.from_arrow(media).map_batches(
+        FrameSample(n_frames=3), batch_format="pyarrow").to_pandas()
+    assert len(frames) == 96
+
+
+def test_session_windows_with_sums(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.windows import session_windows
+    rows = [("u1", 0, 1.0), ("u1", 100, 2.0), ("u1", 5000, 4.0),
+            ("u2", 50, 8.0)]
+    table = pa.table({
+        "uid": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out = session_windows(rd.from_arrow(table), gap_s=1000, key_col="uid",
+                          value_col="value").to_pandas()
+    out = out.sort_values(["uid", "session_start"]).reset_index(drop=True)
+    assert list(out.n) == [2, 1, 1]
+    assert list(out.sum_value) == [3.0, 4.0, 8.0]
