@@ -144,7 +144,8 @@ class _NodeSpec:
 
     __slots__ = ("kind", "children", "leaf", "conditions", "names",
                  "min_size", "max_size", "is_unbounded", "is_first_unbounded",
-                 "kc_key", "kc_slot", "node_id")
+                 "kc_key", "kc_slot", "node_id",
+                 "merge_plan", "prec_checks", "needs_dup", "cond_plan")
 
     def __init__(self, kind, children=(), leaf=None):
         self.kind = kind
@@ -159,6 +160,12 @@ class _NodeSpec:
         self.kc_key = -1                  # entry key of the KC aggregate
         self.kc_slot = -1
         self.node_id = -1
+        # compiled node program (entry key layouts are fixed per node, so
+        # merging / precedence / dup / binding work is precomputed once):
+        self.merge_plan = None    # tuple[(side, idx)] building merged entries
+        self.prec_checks = ()     # tuple[(i, j, check_max)] over merged idx
+        self.needs_dup = False    # same event type on both sides?
+        self.cond_plan = ()       # tuple[(merged_idx, name)] for bindings
 
 
 class CompiledPattern:
@@ -442,6 +449,75 @@ class CompiledPattern:
         for lf in self.leaves:
             self.routes.setdefault(lf.event_type, []).append(lf)
 
+        # ------------------------------------------------------------------
+        # node programs: every node's entry-key layout is fixed, so the
+        # merge interleave, precedence comparisons, duplicate-check need,
+        # and condition-binding slots compile to static index plans
+        self._compile_node_programs()
+        root_keys = self._subtree_keys(self.root)
+        slot_of = self.entry_slot
+        self.emit_order = tuple(sorted(range(len(root_keys)),
+                                       key=lambda i: (slot_of[root_keys[i]],
+                                                      root_keys[i])))
+
+    # -- node-program compilation ------------------------------------------
+    def _subtree_keys(self, spec: _NodeSpec) -> tuple:
+        if spec.kind == _NodeSpec.KIND_LEAF:
+            return (spec.leaf.leaf_id,)
+        if spec.kind == _NodeSpec.KIND_KC:
+            return (spec.kc_key,)
+        if spec.kind == _NodeSpec.KIND_NEG:
+            return self._subtree_keys(spec.children[0])
+        left = self._subtree_keys(spec.children[0])
+        right = self._subtree_keys(spec.children[1])
+        return tuple(sorted(left + right))
+
+    def _leaf_types_under(self, spec: _NodeSpec) -> set:
+        if spec.kind == _NodeSpec.KIND_LEAF:
+            return {spec.leaf.event_type}
+        out = set()
+        for ch in spec.children:
+            out |= self._leaf_types_under(ch)
+        return out
+
+    def _compile_node_programs(self):
+        prec, prec_keys = self.prec, self.prec_keys
+        slot_of = self.entry_slot
+
+        def compile_node(spec: _NodeSpec):
+            for ch in spec.children:
+                compile_node(ch)
+            if spec.kind not in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
+                return
+            lkeys = self._subtree_keys(spec.children[0])
+            rkeys = self._subtree_keys(spec.children[1])
+            tagged = [(k, 0, i) for i, k in enumerate(lkeys)] + \
+                     [(k, 1, i) for i, k in enumerate(rkeys)]
+            tagged.sort()
+            merged_keys = tuple(t[0] for t in tagged)
+            spec.merge_plan = tuple((t[1], t[2]) for t in tagged)
+            # at negation nodes order is validated by min-ts only
+            # (NegativeSeqNode._validate, tree/nodes/NegationNode.py:246-250)
+            check_max = spec.kind == _NodeSpec.KIND_JOIN
+            checks = []
+            for i in range(len(merged_keys)):
+                for j in range(i + 1, len(merged_keys)):
+                    ki, kj = merged_keys[i], merged_keys[j]
+                    si, sj = slot_of[ki], slot_of[kj]
+                    if (si, sj) in prec or (ki, kj) in prec_keys:
+                        checks.append((i, j, check_max))
+                    elif (sj, si) in prec or (kj, ki) in prec_keys:
+                        checks.append((j, i, check_max))
+            spec.prec_checks = tuple(checks)
+            spec.needs_dup = bool(
+                self._leaf_types_under(spec.children[0])
+                & self._leaf_types_under(spec.children[1]))
+            spec.cond_plan = tuple(
+                (idx, name) for idx, k in enumerate(merged_keys)
+                for name in self.entry_names[k])
+
+        compile_node(self.root)
+
 
 def compile_patterns(patterns, statistics: Optional[dict] = None,
                      tree_builder: str = "trivial") -> List[CompiledPattern]:
@@ -594,9 +670,14 @@ class ConversationEvaluator:
         _expire(other, threshold)
         _expire(node.buffers[side], threshold)
         node.buffers[side].append(pm)
+        spec = node.spec
+        plan = spec.merge_plan
         for opm in other:
-            merged = _merge_entries(pm.entries, opm.entries)
-            new_pm = self._validate(cp, node.spec, merged,
+            left = pm.entries if side == 0 else opm.entries
+            right = opm.entries if side == 0 else pm.entries
+            merged = tuple(left[i] if s == 0 else right[i]
+                           for s, i in plan)
+            new_pm = self._validate(cp, spec, merged,
                                     _joint_prob(pm.prob, opm.prob))
             if new_pm is not None and self._pass_policy(tree, node, new_pm):
                 self._emit_to_parent(tree, node, new_pm)
@@ -647,17 +728,19 @@ class ConversationEvaluator:
         neg_buf = node.buffers[1]
         _expire(neg_buf, pm.last_ts - cp.window_us)
         prob = pm.prob
+        spec = node.spec
+        plan = spec.merge_plan
         for npm in neg_buf:
-            merged = _merge_entries(pm.entries, npm.entries)
-            if self._validate(cp, node.spec, merged,
-                              _joint_prob(prob, npm.prob),
-                              neg_check=True) is not None:
+            merged = tuple(pm.entries[i] if s == 0 else npm.entries[i]
+                           for s, i in plan)
+            if self._validate(cp, spec, merged,
+                              _joint_prob(prob, npm.prob)) is not None:
                 if npm.prob is not None:
                     # uncertain negative: scale the probability
                     prob = _joint_prob(prob, 1.0 - npm.prob)
                 else:
                     return  # invalidated (tree/nodes/NegationNode.py:118-122)
-        out = PM(pm.entries, prob)
+        out = PM(pm.entries, prob, pm.first_ts, pm.last_ts)
         if not self._pass_policy(tree, node, out):
             return
         if node.spec.is_first_unbounded:
@@ -675,12 +758,14 @@ class ConversationEvaluator:
         if first is None or first.pending is None:
             return
         keep = []
+        spec = node.spec
+        plan = spec.merge_plan
         for ppm in first.pending:
-            merged = _merge_entries(ppm.entries, pm.entries)
+            merged = tuple(ppm.entries[i] if s == 0 else pm.entries[i]
+                           for s, i in plan)
             invalid = False
-            if self._validate(cp, node.spec, merged,
-                              _joint_prob(ppm.prob, pm.prob),
-                              neg_check=True) is not None:
+            if self._validate(cp, spec, merged,
+                              _joint_prob(ppm.prob, pm.prob)) is not None:
                 if pm.prob is not None:
                     ppm.prob = _joint_prob(ppm.prob, 1.0 - pm.prob)
                 else:
@@ -707,7 +792,7 @@ class ConversationEvaluator:
 
     # -- validation ---------------------------------------------------------
     def _validate(self, cp: CompiledPattern, spec: _NodeSpec,
-                  entries, prob, neg_check=False) -> Optional[PM]:
+                  entries, prob) -> Optional[PM]:
         # window (tree/nodes/Node.py:187-193)
         e0 = entries[0][1]
         min_ts = e0.min_ts
@@ -719,41 +804,31 @@ class ConversationEvaluator:
                 max_ts = e.max_ts
         if max_ts - min_ts > cp.window_us:
             return None
-        n = len(entries)
-        if n > 1:
-            # duplicate events (tree/nodes/InternalNode.py:28-30)
+        # duplicate events — only when the same event type can bind on
+        # both sides (tree/nodes/InternalNode.py:28-30)
+        if spec.needs_dup:
             idxs = set()
             for _, e in entries:
                 if e.idx in idxs:
                     return None
                 idxs.add(e.idx)
-            # SEQ precedence (tree/nodes/SeqNode.py:30-33)
-            prec, prec_keys = cp.prec, cp.prec_keys
-            if prec or prec_keys:
-                slot_of = cp.entry_slot
-                for i in range(n):
-                    ki, ei = entries[i]
-                    si = slot_of[ki]
-                    for j in range(i + 1, n):
-                        kj, ej = entries[j]
-                        sj = slot_of[kj]
-                        if (si, sj) in prec or (ki, kj) in prec_keys:
-                            if ei.min_ts > ej.min_ts:
-                                return None
-                            if not neg_check and ei.max_ts > ej.max_ts:
-                                return None
-                        elif (sj, si) in prec or (kj, ki) in prec_keys:
-                            if ej.min_ts > ei.min_ts:
-                                return None
-                            if not neg_check and ej.max_ts > ei.max_ts:
-                                return None
+        # SEQ precedence, precompiled per node (tree/nodes/SeqNode.py:30-33)
+        for i, j, check_max in spec.prec_checks:
+            ei = entries[i][1]
+            ej = entries[j][1]
+            if ei.min_ts > ej.min_ts:
+                return None
+            if check_max and ei.max_ts > ej.max_ts:
+                return None
         # conditions
         if spec.conditions:
-            binding = {}
-            for key, e in entries:
-                content = e.content()
-                for name in cp.entry_names[key]:
-                    binding[name] = content
+            if spec.kind == _NodeSpec.KIND_KC:
+                items = entries[0][1].content()
+                binding = {name: items for name in spec.names}
+            else:
+                binding = {}
+                for idx, name in spec.cond_plan:
+                    binding[name] = entries[idx][1].content()
             for c in spec.conditions:
                 if not c.eval(binding):
                     return None

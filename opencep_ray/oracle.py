@@ -127,18 +127,30 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
         maxs = [c[-1].ts for c in chosen]
         return mins, maxs
 
+    # NOTE on duplicates: the reference's no-duplicate check hashes a
+    # Kleene AggregatedEvent as ONE unit (fresh counter id,
+    # base/Event.py:53-58, tree/nodes/InternalNode.py:28-30), so an event
+    # may appear both bound to a primitive leaf and inside a KC item list.
+    # Only primitive-slot bindings participate in the dup check.
+    slot_is_kc = [isinstance(a, Kleene) for a in pos_args]
+
     def recurse(i, chosen, used):
         if i == len(cand_lists):
             finalize(chosen)
             return
+        is_kc = slot_is_kc[i]
         for cand in cand_lists[i]:
-            idxs = {e.idx for e in cand}
-            if idxs & used:
-                continue
+            if not is_kc:
+                idxs = {e.idx for e in cand}
+                if idxs & used:
+                    continue
+                new_used = used | idxs
+            else:
+                new_used = used
             chosen.append(cand)
             mins, maxs = slot_span(chosen)
             if max(maxs) - min(mins) <= window and order_ok(chosen):
-                recurse(i + 1, chosen, used | idxs)
+                recurse(i + 1, chosen, new_used)
             chosen.pop()
 
     def order_ok(chosen):
@@ -176,8 +188,9 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
         # negation: each negative arg checked independently
         mins, maxs = slot_span(chosen)
         lo, hi = min(mins), max(maxs)
-        used_idx = {e.idx for cand in chosen for e in cand}
-        completion_idx = max(used_idx)
+        used_idx = {e.idx for is_kc, cand in zip(slot_is_kc, chosen)
+                    if not is_kc for e in cand}
+        completion_idx = max(e.idx for cand in chosen for e in cand)
         for pos_idx, neg_prim in neg_args:
             bounded = neg_bounded[pos_idx]
             for e in evs:

@@ -275,3 +275,22 @@ def test_multi_pattern_union():
                   [(pid, key) for key, pid, _, _ in
                    oracle_matches(p2, events)], key=repr)
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_same_type_kleene_overlap_semantics(seed):
+    # an assistant event may be bound to 'a' AND appear inside the KC list
+    # (the reference hashes the aggregate as one unit in its dup check)
+    p = Pattern(Seq(Primitive("assistant", "a"),
+                    Kleene(Primitive("assistant", "b"), max_size=2)),
+                window=8)
+    check(p, gen_stream(seed + 2000, n=12))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kleene_with_negation(seed):
+    p = Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b"), max_size=2),
+                    Neg(Primitive("tool", "x"))),
+                window=10)
+    check(p, gen_stream(seed + 2100, n=14))
