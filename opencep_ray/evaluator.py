@@ -444,6 +444,43 @@ class CompiledPattern:
             elif cp.secondary_selection_strategy == SelectionStrategy.MATCH_NEXT:
                 self.match_next_types = frozenset(cp.single_types)
 
+        # freeze policy: per flat sequence, a freezer name F blocks every
+        # name up to and including F while a freezer event is active
+        # (tree/evaluation/TreeBasedEvaluationMechanism.py:173-204)
+        self.freeze_blocked_by_type: Dict[str, frozenset] = {}
+        if cp is not None and getattr(cp, "freeze_names", None):
+            sequences: List[List[str]] = []
+
+            def collect_seqs(s):
+                if isinstance(s, Seq):
+                    sequences.append([n for a in s.args
+                                      if not isinstance(a, Neg)
+                                      for n in a.event_names()])
+                if isinstance(s, Composite):
+                    for a in s.args:
+                        collect_seqs(a)
+                elif isinstance(s, (Kleene, Neg)):
+                    collect_seqs(s.arg)
+
+            collect_seqs(structure)
+            name_to_type = {lf.name: lf.event_type for lf in self.leaves}
+            for freezer in cp.freeze_names:
+                blocked = set()
+                for seq_names in sequences:
+                    if freezer not in seq_names:
+                        continue
+                    for name in seq_names:
+                        blocked.add(name)
+                        if name == freezer:
+                            break
+                if blocked and freezer in name_to_type:
+                    ftype = name_to_type[freezer]
+                    cur = set(self.freeze_blocked_by_type.get(ftype, ()))
+                    self.freeze_blocked_by_type[ftype] = frozenset(
+                        cur | blocked)
+        self.freezer_names = frozenset(
+            getattr(cp, "freeze_names", ()) or ()) if cp else frozenset()
+
         # event_type -> [leaf specs], for routing
         self.routes: Dict[str, List[_LeafSpec]] = {}
         for lf in self.leaves:
@@ -591,7 +628,8 @@ class ConversationEvaluator:
                                 if n.spec.is_first_unbounded), None)
         return {"cp": cp, "root": root, "leaf_nodes": leaf_nodes,
                 "first_unbounded": first_unbounded,
-                "nodes": list(nodes.values())}
+                "nodes": list(nodes.values()),
+                "freezers": [] if cp.freeze_blocked_by_type else None}
 
     # -- ingestion ----------------------------------------------------------
     def process(self, payload: dict, ev_type: str, ts_us: int,
@@ -602,10 +640,28 @@ class ConversationEvaluator:
         payload[INDEX_ATTR] = idx
         ev = Ev(payload, ev_type, ts_us, idx, prob)
         for tree in self._trees:
-            routes = tree["cp"].routes.get(ev_type)
+            cp = tree["cp"]
+            routes = cp.routes.get(ev_type)
+            freezers = tree["freezers"]
+            if freezers:
+                # expire stale freezers against the newest event
+                # (TreeBasedEvaluationMechanism.__remove_expired_freezers)
+                w = cp.window_us
+                freezers[:] = [f for f in freezers if ts_us - f.min_ts <= w]
             if not routes:
                 continue
             for lf in routes:
+                if freezers:
+                    blocked = False
+                    for fr in freezers:
+                        bn = cp.freeze_blocked_by_type.get(fr.type)
+                        if bn is not None and lf.name in bn:
+                            blocked = True
+                            break
+                    if blocked:
+                        continue
+                if freezers is not None and lf.name in cp.freezer_names:
+                    freezers.append(ev)
                 self._leaf_accept(tree, lf, ev)
 
     def advance_watermark(self, ts_us: int):
@@ -864,6 +920,12 @@ class ConversationEvaluator:
         if cp.single_at_root:
             if not self._apply_single(tree["root"], pm, cp.single_at_root):
                 return
+        if tree["freezers"]:
+            # matched freezers unfreeze (entry-level identity, like the
+            # reference's `freezer not in match.events`)
+            matched = {e.idx for _, e in pm.entries}
+            tree["freezers"][:] = [f for f in tree["freezers"]
+                                   if f.idx not in matched]
         self.matches.append((cp.pattern_id, pm))
 
     # -- output helpers ------------------------------------------------------

@@ -140,22 +140,25 @@ class ConsumptionPolicy:
     * ``contiguous``: a list of event names that must be contiguous in
       arrival order (reference rewrites this into index-adjacency conditions,
       base/Pattern.py:175-182).
-    * ``freeze``: not supported in round 1 (reference:
-      tree/evaluation/TreeBasedEvaluationMechanism.py:173-231).
+    * ``freeze``: event names whose appearance blocks creation of new
+      partial matches for every name up to and including the freezer in
+      any flat sequence, until the freezer is matched or expires
+      (reference: tree/evaluation/TreeBasedEvaluationMechanism.py:173-231).
     """
 
     def __init__(self,
                  single: Union[str, List[str], None] = None,
                  secondary_selection_strategy: str = SelectionStrategy.MATCH_ANY,
                  contiguous: Optional[List[str]] = None,
-                 freeze: Optional[str] = None):
-        if freeze is not None:
-            raise NotImplementedError("freeze policy is not supported yet")
+                 freeze: Union[str, List[str], None] = None):
         if isinstance(single, str):
             single = [single]
+        if isinstance(freeze, str):
+            freeze = [freeze]
         self.single_types: List[str] = single or []
         self.secondary_selection_strategy = secondary_selection_strategy
         self.contiguous_names: List[str] = contiguous or []
+        self.freeze_names: List[str] = freeze or []
 
 
 class Pattern:

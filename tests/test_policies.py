@@ -78,7 +78,38 @@ def test_contiguity_three_events():
     assert got == [(0, 1, 2)]
 
 
-def test_freeze_unsupported():
-    import pytest
-    with pytest.raises(NotImplementedError):
-        ConsumptionPolicy(freeze="user")
+
+
+def test_freeze_policy_blocks_until_matched():
+    # freeze on 'b': after a 'b'-type event arrives, no new 'a' or 'b'
+    # partials start until that freezer is matched or expires
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=100,
+                consumption_policy=ConsumptionPolicy(freeze="b"))
+    # u0: a-candidate; asst1: freezer arrives AND matches (0,1) -> unfrozen
+    # immediately; u2 accepted; asst3 joins both live a-partials (freeze
+    # never retracts existing partials — reference behavior)
+    got = run(p, [("user", 0), ("assistant", 1), ("user", 2),
+                  ("assistant", 3)])
+    assert got == [(0, 1), (0, 3), (2, 3)]
+
+
+def test_freeze_policy_blocks_new_starts():
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=100,
+                consumption_policy=ConsumptionPolicy(freeze="b"))
+    # asst0 arrives first: becomes an active freezer with NO match to
+    # release it (no prior user) -> user1/user2 are blocked while frozen;
+    # asst3: matches nothing (no a partials) and refreezes
+    got = run(p, [("assistant", 0), ("user", 1), ("user", 2),
+                  ("assistant", 3)])
+    assert got == []
+
+
+def test_freeze_policy_expires_with_window():
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=5,
+                consumption_policy=ConsumptionPolicy(freeze="b"))
+    # freezer at t=0 expires by t=10; the (10, 12) pair then matches
+    got = run(p, [("assistant", 0), ("user", 10), ("assistant", 12)])
+    assert got == [(1, 2)]
