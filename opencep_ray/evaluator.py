@@ -591,14 +591,22 @@ class ConversationEvaluator:
     """Evaluates compiled patterns over one key's events, fed in arrival
     order.  Matches accumulate in ``self.matches`` as (pattern_id, PM)."""
 
-    __slots__ = ("compiled", "matches", "_counter", "_agg_counter", "_trees")
+    __slots__ = ("compiled", "matches", "_counter", "_agg_counter", "_trees",
+                 "_history", "_max_window_us")
 
-    def __init__(self, compiled: List[CompiledPattern]):
+    def __init__(self, compiled: List[CompiledPattern],
+                 retain_events: bool = False):
         self.compiled = compiled
         self.matches: List[Tuple[int, PM]] = []
         self._counter = 0
         self._agg_counter = 0
         self._trees = [self._instantiate(cp) for cp in compiled]
+        # optional in-window event history, enabling replan-with-replay
+        # (the reference's tree-swap replay trick,
+        # tree/evaluation/TrivialTreeBasedEvaluationMechnism.py:30-55)
+        self._history = [] if retain_events else None
+        self._max_window_us = max(cp.window_us for cp in compiled) \
+            if compiled else 0
 
     def _instantiate(self, cp: CompiledPattern):
         nodes: Dict[int, _RTNode] = {}
@@ -639,6 +647,12 @@ class ConversationEvaluator:
         self._counter += 1
         payload[INDEX_ATTR] = idx
         ev = Ev(payload, ev_type, ts_us, idx, prob)
+        if self._history is not None:
+            self._history.append((payload, ev_type, ts_us, prob))
+            threshold = ts_us - self._max_window_us
+            if self._history[0][2] < threshold:
+                self._history = [h for h in self._history
+                                 if h[2] >= threshold]
         for tree in self._trees:
             cp = tree["cp"]
             routes = cp.routes.get(ev_type)
@@ -674,6 +688,22 @@ class ConversationEvaluator:
         """End of stream: flush all pending matches (tree/Tree.py:224-238)."""
         for tree in self._trees:
             self._flush_pending(tree, None)
+
+    def rebuilt_with(self, new_compiled: List[CompiledPattern]
+                     ) -> "ConversationEvaluator":
+        """Returns a fresh evaluator compiled with ``new_compiled``, its
+        state reconstructed by replaying the retained in-window event
+        history; matches regenerated during replay are discarded (they
+        were already emitted) — the reference's replay-and-dedup tree
+        swap (TrivialTreeBasedEvaluationMechnism.py:30-55)."""
+        if self._history is None:
+            raise ValueError("evaluator was not created with "
+                             "retain_events=True")
+        fresh = ConversationEvaluator(new_compiled, retain_events=True)
+        for payload, typ, ts, prob in self._history:
+            fresh.process(dict(payload), typ, ts, prob)
+        fresh.matches.clear()
+        return fresh
 
     def is_quiescent(self, watermark_us: int) -> bool:
         """True when no state can influence future results given the

@@ -50,16 +50,19 @@ class _WorkerCore:
     can be unit-tested and pickled for checkpoints)."""
 
     def __init__(self, compiled: List[CompiledPattern], cfg: EngineConfig,
-                 emitter, slice_len_us: int = 1):
+                 emitter, slice_len_us: int = 1,
+                 retain_events: bool = False):
         self.compiled = compiled
         self.cfg = cfg
         self.emitter = emitter
         self.slice_len_us = slice_len_us
+        self.retain_events = retain_events  # enables replan-with-replay
         # keyed by (conv_id, slice); slice is -1 for non-hot keys
         self.evaluators: Dict[object, ConversationEvaluator] = {}
         self.watermark_us = None
         self.rows_processed = 0
         self.busy_sec = 0.0
+        self.type_counts: Dict[str, int] = {}
         self.cp_by_id = {cp.pattern_id: cp for cp in compiled}
         self.has_unbounded = any(cp.has_unbounded_negation
                                  for cp in compiled)
@@ -95,6 +98,12 @@ class _WorkerCore:
             cols[c] = ts_us if c == cfg.ts_col else shard[c].to_pylist()
         col_items = list(cols.items())
 
+        # arrival-rate statistics (ArrivalRatesStatistics analog,
+        # adaptive/statistics/Statistics.py:43-100)
+        tc = self.type_counts
+        for t in types:
+            tc[t] = tc.get(t, 0) + 1
+
         rows = []
         n = len(keys)
         i = 0
@@ -104,7 +113,8 @@ class _WorkerCore:
             ev_key = key if cur_slice < 0 else (key, cur_slice)
             ev = self.evaluators.get(ev_key)
             if ev is None:
-                ev = ConversationEvaluator(self.compiled)
+                ev = ConversationEvaluator(self.compiled,
+                                           retain_events=self.retain_events)
                 self.evaluators[ev_key] = ev
             j = i
             while j < n and keys[j] == key and \
@@ -157,18 +167,33 @@ class _WorkerCore:
             self._drain(conv, sl, ev, rows)
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
 
+    def replan(self, new_compiled: List[CompiledPattern]):
+        """Swaps in newly compiled patterns, rebuilding every evaluator by
+        replaying its retained in-window history (results are unaffected —
+        join order never changes match sets — only evaluation cost)."""
+        self.compiled = new_compiled
+        self.cp_by_id = {cp.pattern_id: cp for cp in new_compiled}
+        self.evaluators = {k: ev.rebuilt_with(new_compiled)
+                           for k, ev in self.evaluators.items()}
+
     # -- state --------------------------------------------------------------
     def snapshot(self) -> bytes:
         return pickle.dumps(
             {"evaluators": self.evaluators,
              "watermark_us": self.watermark_us,
-             "rows_processed": self.rows_processed})
+             "rows_processed": self.rows_processed,
+             "type_counts": self.type_counts,
+             "compiled": self.compiled})
 
     def restore(self, blob: bytes):
         state = pickle.loads(blob)
         self.evaluators = state["evaluators"]
         self.watermark_us = state["watermark_us"]
         self.rows_processed = state["rows_processed"]
+        self.type_counts = state.get("type_counts", {})
+        if state.get("compiled") is not None:
+            self.compiled = state["compiled"]
+            self.cp_by_id = {cp.pattern_id: cp for cp in self.compiled}
 
 
 @ray.remote
@@ -178,7 +203,7 @@ class _StreamWorker:
     batches and commits the manifest)."""
 
     def __init__(self, worker_id, compiled, cfg, emitter, output_dir,
-                 slice_len_us: int = 1):
+                 slice_len_us: int = 1, retain_events: bool = False):
         # one scheduling slot = one core: pin Arrow's internal pool so a
         # worker can't silently use cores beyond its num_cpus reservation
         # (keeps the two-parallelism-level scaling measurement honest)
@@ -186,7 +211,8 @@ class _StreamWorker:
         pa.set_io_thread_count(2)
         self.worker_id = worker_id
         self.output_dir = output_dir
-        self.core = _WorkerCore(compiled, cfg, emitter, slice_len_us)
+        self.core = _WorkerCore(compiled, cfg, emitter, slice_len_us,
+                                retain_events)
 
     def _write(self, table: pa.Table, batch_id: int, suffix: str = "") -> int:
         if table.num_rows == 0:
@@ -220,6 +246,13 @@ class _StreamWorker:
 
     def restore(self, blob: bytes) -> bool:
         self.core.restore(blob)
+        return True
+
+    def type_counts(self) -> dict:
+        return dict(self.core.type_counts)
+
+    def replan(self, new_compiled) -> bool:
+        self.core.replan(new_compiled)
         return True
 
     def stats(self) -> dict:
@@ -287,8 +320,13 @@ class StreamingCEP:
     def __init__(self, patterns, cfg: Optional[EngineConfig] = None,
                  num_workers: int = 8, emitter=None,
                  checkpoint_every: int = 8,
-                 ts_ordered_input: bool = False):
+                 ts_ordered_input: bool = False,
+                 adaptive: bool = False, replan_every: int = 16,
+                 tree_builder: str = "greedy"):
+        from .pattern import Pattern
         self.cfg = cfg or EngineConfig()
+        self._patterns = [patterns] if isinstance(patterns, Pattern) \
+            else list(patterns)
         self.compiled = compile_patterns(patterns)
         self.types_needed = frozenset(
             t for cp in self.compiled for t in cp.routes)
@@ -297,6 +335,38 @@ class StreamingCEP:
         self.emitter = emitter
         self.checkpoint_every = checkpoint_every
         self.ts_ordered_input = ts_ordered_input
+        # runtime adaptivity (reference §2.6): collect arrival rates in the
+        # workers, periodically recompile the evaluation order and swap it
+        # in with replay — results are plan-invariant, only cost changes
+        self.adaptive = adaptive
+        self.replan_every = replan_every
+        self.tree_builder = tree_builder
+
+    def _recompile_with_counts(self, counts: dict):
+        """Builds per-pattern arrival-rate statistics from observed type
+        counts and recompiles with the configured order builder."""
+        from .pattern import Composite, Neg, Primitive, Kleene
+
+        def arg_types(arg):
+            if isinstance(arg, Primitive):
+                return [arg.event_type]
+            if isinstance(arg, (Kleene, Neg)):
+                return arg_types(arg.arg)
+            if isinstance(arg, Composite):
+                out = []
+                for a in arg.args:
+                    out.extend(arg_types(a))
+                return out
+            return []
+
+        for p in self._patterns:
+            s = p.structure
+            if isinstance(s, Composite):
+                rates = [sum(counts.get(t, 0) for t in arg_types(a))
+                         for a in s.args if not isinstance(a, Neg)]
+                p.statistics = {"arrival_rates": rates}
+        return compile_patterns(self._patterns,
+                                tree_builder=self.tree_builder)
 
     # -- source -------------------------------------------------------------
     def _micro_batch_plan(self, files: Sequence[str],
@@ -342,7 +412,8 @@ class StreamingCEP:
                          self.max_window_us)
         workers = [_StreamWorker.remote(w, self.compiled, self.cfg, emitter,
                                         output_dir,
-                                        router.prep.slice_len_us)
+                                        router.prep.slice_len_us,
+                                        self.adaptive)
                    for w in range(self.num_workers)]
 
         start_after = -1
@@ -372,6 +443,7 @@ class StreamingCEP:
         # drain time, strictly in batch order.
         in_flight: List[tuple] = []  # (batch_id, refs, wm_refs, snap_refs)
         last_ck_scheduled = start_after
+        last_replan = start_after
         n_batches = 0
 
         def drain_one():
@@ -409,6 +481,18 @@ class StreamingCEP:
             if self.ts_ordered_input:
                 wm_refs = [w.advance_watermark.remote(max_ts_ref, batch_id)
                            for w in workers]
+            if self.adaptive and \
+                    (batch_id - last_replan) >= self.replan_every:
+                # deterministic replan point: counts reflect exactly the
+                # batches up to batch_id (actor-queue ordering), and the
+                # new plan is enqueued before batch_id+1's work
+                totals: Dict[str, int] = {}
+                for c in ray.get([w.type_counts.remote() for w in workers]):
+                    for t, cnt in c.items():
+                        totals[t] = totals.get(t, 0) + cnt
+                new_compiled = self._recompile_with_counts(totals)
+                ray.get([w.replan.remote(new_compiled) for w in workers])
+                last_replan = batch_id
             snap_refs = None
             if (batch_id - last_ck_scheduled) >= self.checkpoint_every:
                 snap_refs = [w.snapshot.remote() for w in workers]

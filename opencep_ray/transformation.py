@@ -81,9 +81,12 @@ def prepare_patterns(patterns: List[Pattern]) -> List[Pattern]:
         disjuncts = s.args if isinstance(s, Or) else [s]
         for d in disjuncts:
             cond = _project_condition(p.condition, set(d.event_names()))
-            out.append(Pattern(d, cond, p.window,
-                               p.consumption_policy, p.confidence,
-                               pattern_id=pid))
+            q = Pattern(d, cond, p.window,
+                        p.consumption_policy, p.confidence,
+                        pattern_id=pid)
+            if getattr(p, "statistics", None) is not None:
+                q.statistics = p.statistics
+            out.append(q)
     return out
 
 

@@ -129,3 +129,63 @@ def test_watermark_eviction(ray_session, tmp_path):
     cep = CEP(PATTERNS, transcript_config(num_partitions=4))
     want = canonical(cep.run_table(table))
     assert got == want
+
+
+def test_adaptive_replan_same_results(ray_session, input_files, tmp_path):
+    """Mid-stream replanning with state replay must not change results
+    (join order is plan-invariant; only evaluation cost changes)."""
+    files, table = input_files
+    base_dir = str(tmp_path / "base")
+    s1 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    s1.run_files(files, base_dir, micro_batch_rows=150)
+    want = canonical(read_matches(base_dir))
+
+    adaptive_dir = str(tmp_path / "adaptive")
+    s2 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      adaptive=True, replan_every=3,
+                      tree_builder="greedy")
+    s2.run_files(files, adaptive_dir, micro_batch_rows=150)
+    got = canonical(read_matches(adaptive_dir))
+    assert got == want
+
+
+def test_plan_builders_do_not_change_results():
+    """All order builders produce identical match sets (plan invariance),
+    over a 3-event pattern with skewed type frequencies."""
+    import pyarrow.compute as pc
+    from opencep_ray import compile_patterns
+    from opencep_ray.evaluator import ConversationEvaluator
+    from opencep_ray.sources.transcripts import synth_transcripts, text_v
+    from opencep_ray import SimpleCondition, Variable
+
+    table = synth_transcripts(20, 15, seed=11)
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Primitive("tool", "c")),
+                window=200)
+    stats = {"arrival_rates": [100.0, 200.0, 5.0]}
+    results = {}
+    for builder in ("trivial", "sort_by_frequency", "greedy",
+                    "dynamic_programming"):
+        compiled = compile_patterns(p, statistics=stats,
+                                    tree_builder=builder)
+        out = []
+        for conv in pc.unique(table["conv_id"]).to_pylist():
+            sub = table.filter(pc.equal(table["conv_id"], conv))
+            sub = sub.take(pc.sort_indices(
+                sub, sort_keys=[("ts", "ascending"),
+                                ("turn_idx", "ascending")]))
+            ev = ConversationEvaluator(compiled)
+            for r in sub.to_pylist():
+                ev.process(dict(r), r["role"],
+                           int(r["ts"].timestamp() * 1e6))
+            ev.eos()
+            for pid, pm in ev.matches:
+                out.append((conv, tuple(
+                    e.payload["turn_idx"]
+                    for e in ConversationEvaluator.primitive_events(
+                        pm, compiled[0]))))
+        results[builder] = sorted(out)
+    base = results["trivial"]
+    assert len(base) > 0
+    for builder, res in results.items():
+        assert res == base, builder
