@@ -326,6 +326,18 @@ class CompiledPattern:
                         Variable(b, _IndexGetter()),
                         relation_op=_is_adjacent))
 
+        # tag each conjunct for runtime selectivity instrumentation
+        # (reference: condition/Condition.py:119-125 reports every atomic
+        # evaluation to a statistics collector)
+        self.conjunct_names: Dict[tuple, frozenset] = {}
+        for ci, c in enumerate(conjuncts):
+            key = (self.pattern_id, ci)
+            try:
+                c._stat_key = key
+            except AttributeError:
+                pass
+            self.conjunct_names[key] = frozenset(c.names())
+
         remaining = list(conjuncts)
 
         def take_conditions(names: frozenset, kc_only: bool) -> List[Condition]:
@@ -592,14 +604,17 @@ class ConversationEvaluator:
     order.  Matches accumulate in ``self.matches`` as (pattern_id, PM)."""
 
     __slots__ = ("compiled", "matches", "_counter", "_agg_counter", "_trees",
-                 "_history", "_max_window_us")
+                 "_history", "_max_window_us", "cond_stats")
 
     def __init__(self, compiled: List[CompiledPattern],
-                 retain_events: bool = False):
+                 retain_events: bool = False,
+                 cond_stats: Optional[Dict] = None):
         self.compiled = compiled
         self.matches: List[Tuple[int, PM]] = []
         self._counter = 0
         self._agg_counter = 0
+        # optional shared {(pattern_id, conjunct_idx): [successes, total]}
+        self.cond_stats = cond_stats
         self._trees = [self._instantiate(cp) for cp in compiled]
         # optional in-window event history, enabling replan-with-replay
         # (the reference's tree-swap replay trick,
@@ -689,13 +704,15 @@ class ConversationEvaluator:
         for tree in self._trees:
             self._flush_pending(tree, None)
 
-    def rebuilt_with(self, new_compiled: List[CompiledPattern]
+    def rebuilt_with(self, new_compiled: List[CompiledPattern],
+                     cond_stats: Optional[Dict] = None
                      ) -> "ConversationEvaluator":
         """Returns a fresh evaluator compiled with ``new_compiled``, its
         state reconstructed by replaying the retained in-window event
         history; matches regenerated during replay are discarded (they
         were already emitted) — the reference's replay-and-dedup tree
-        swap (TrivialTreeBasedEvaluationMechnism.py:30-55)."""
+        swap (TrivialTreeBasedEvaluationMechnism.py:30-55).  Replayed
+        evaluations do not pollute the selectivity counters."""
         if self._history is None:
             raise ValueError("evaluator was not created with "
                              "retain_events=True")
@@ -703,6 +720,7 @@ class ConversationEvaluator:
         for payload, typ, ts, prob in self._history:
             fresh.process(dict(payload), typ, ts, prob)
         fresh.matches.clear()
+        fresh.cond_stats = cond_stats
         return fresh
 
     def is_quiescent(self, watermark_us: int) -> bool:
@@ -725,8 +743,16 @@ class ConversationEvaluator:
     def _leaf_accept(self, tree, lf: _LeafSpec, ev: Ev):
         if lf.conditions:
             binding = {lf.name: ev.payload}
+            stats = self.cond_stats
             for c in lf.conditions:
-                if not c.eval(binding):
+                ok = c.eval(binding)
+                if stats is not None:
+                    key = getattr(c, "_stat_key", None)
+                    if key is not None:
+                        st = stats.setdefault(key, [0, 0])
+                        st[1] += 1
+                        st[0] += bool(ok)
+                if not ok:
                     return
         node = tree["leaf_nodes"][lf.leaf_id]
         pm = PM(((lf.leaf_id, ev),), ev.prob)
@@ -915,9 +941,21 @@ class ConversationEvaluator:
                 binding = {}
                 for idx, name in spec.cond_plan:
                     binding[name] = entries[idx][1].content()
-            for c in spec.conditions:
-                if not c.eval(binding):
-                    return None
+            stats = self.cond_stats
+            if stats is None:
+                for c in spec.conditions:
+                    if not c.eval(binding):
+                        return None
+            else:
+                for c in spec.conditions:
+                    ok = c.eval(binding)
+                    key = getattr(c, "_stat_key", None)
+                    if key is not None:
+                        st = stats.setdefault(key, [0, 0])
+                        st[1] += 1
+                        st[0] += bool(ok)
+                    if not ok:
+                        return None
         return PM(entries, prob, min_ts, max_ts)
 
     # -- policies & output ---------------------------------------------------

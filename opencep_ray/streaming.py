@@ -63,6 +63,10 @@ class _WorkerCore:
         self.rows_processed = 0
         self.busy_sec = 0.0
         self.type_counts: Dict[str, int] = {}
+        # {(pattern_id, conjunct_idx): [successes, total]} — selectivity
+        # instrumentation (condition/Condition.py:119-125 analog); only
+        # collected when adaptivity is on
+        self.cond_stats: Dict[tuple, list] = {} if retain_events else None
         self.cp_by_id = {cp.pattern_id: cp for cp in compiled}
         self.has_unbounded = any(cp.has_unbounded_negation
                                  for cp in compiled)
@@ -114,7 +118,8 @@ class _WorkerCore:
             ev = self.evaluators.get(ev_key)
             if ev is None:
                 ev = ConversationEvaluator(self.compiled,
-                                           retain_events=self.retain_events)
+                                           retain_events=self.retain_events,
+                                           cond_stats=self.cond_stats)
                 self.evaluators[ev_key] = ev
             j = i
             while j < n and keys[j] == key and \
@@ -173,7 +178,7 @@ class _WorkerCore:
         join order never changes match sets — only evaluation cost)."""
         self.compiled = new_compiled
         self.cp_by_id = {cp.pattern_id: cp for cp in new_compiled}
-        self.evaluators = {k: ev.rebuilt_with(new_compiled)
+        self.evaluators = {k: ev.rebuilt_with(new_compiled, self.cond_stats)
                            for k, ev in self.evaluators.items()}
 
     # -- state --------------------------------------------------------------
@@ -183,6 +188,7 @@ class _WorkerCore:
              "watermark_us": self.watermark_us,
              "rows_processed": self.rows_processed,
              "type_counts": self.type_counts,
+             "cond_stats": self.cond_stats,
              "compiled": self.compiled})
 
     def restore(self, blob: bytes):
@@ -191,6 +197,12 @@ class _WorkerCore:
         self.watermark_us = state["watermark_us"]
         self.rows_processed = state["rows_processed"]
         self.type_counts = state.get("type_counts", {})
+        restored_cs = state.get("cond_stats")
+        if restored_cs is not None and self.cond_stats is not None:
+            self.cond_stats.clear()
+            self.cond_stats.update(restored_cs)
+            for ev in self.evaluators.values():
+                ev.cond_stats = self.cond_stats
         if state.get("compiled") is not None:
             self.compiled = state["compiled"]
             self.cp_by_id = {cp.pattern_id: cp for cp in self.compiled}
@@ -250,6 +262,10 @@ class _StreamWorker:
 
     def type_counts(self) -> dict:
         return dict(self.core.type_counts)
+
+    def statistics(self) -> dict:
+        return {"type_counts": dict(self.core.type_counts),
+                "cond_stats": dict(self.core.cond_stats or {})}
 
     def replan(self, new_compiled) -> bool:
         self.core.replan(new_compiled)
@@ -342,9 +358,12 @@ class StreamingCEP:
         self.replan_every = replan_every
         self.tree_builder = tree_builder
 
-    def _recompile_with_counts(self, counts: dict):
-        """Builds per-pattern arrival-rate statistics from observed type
-        counts and recompiles with the configured order builder."""
+    def _recompile_with_counts(self, counts: dict,
+                               cond_stats: Optional[dict] = None):
+        """Builds per-pattern arrival-rate + pairwise-selectivity
+        statistics from observed counters and recompiles with the
+        configured order builder (SelectivityStatistics analog,
+        adaptive/statistics/Statistics.py:103-181)."""
         from .pattern import Composite, Neg, Primitive, Kleene
 
         def arg_types(arg):
@@ -359,12 +378,38 @@ class StreamingCEP:
                 return out
             return []
 
+        conj_names = {}
+        for cp in self.compiled:
+            conj_names.update(cp.conjunct_names)
+
         for p in self._patterns:
             s = p.structure
-            if isinstance(s, Composite):
-                rates = [sum(counts.get(t, 0) for t in arg_types(a))
-                         for a in s.args if not isinstance(a, Neg)]
-                p.statistics = {"arrival_rates": rates}
+            if not isinstance(s, Composite):
+                continue
+            pos_args = [a for a in s.args if not isinstance(a, Neg)]
+            rates = [sum(counts.get(t, 0) for t in arg_types(a))
+                     for a in pos_args]
+            n = len(pos_args)
+            sel = [[1.0] * n for _ in range(n)]
+            if cond_stats:
+                arg_names = [frozenset(a.event_names()) for a in pos_args]
+                for key, (succ, tot) in cond_stats.items():
+                    if tot <= 0:
+                        continue
+                    names = conj_names.get(key)
+                    if not names:
+                        continue
+                    touched = [i for i, an in enumerate(arg_names)
+                               if names & an]
+                    s_hat = succ / tot
+                    if len(touched) == 1:
+                        i = touched[0]
+                        sel[i][i] *= s_hat
+                    elif len(touched) == 2:
+                        i, j = touched
+                        sel[i][j] *= s_hat
+            p.statistics = {"arrival_rates": rates,
+                            "selectivity_matrix": sel}
         return compile_patterns(self._patterns,
                                 tree_builder=self.tree_builder)
 
@@ -487,10 +532,16 @@ class StreamingCEP:
                 # batches up to batch_id (actor-queue ordering), and the
                 # new plan is enqueued before batch_id+1's work
                 totals: Dict[str, int] = {}
-                for c in ray.get([w.type_counts.remote() for w in workers]):
-                    for t, cnt in c.items():
+                cond_totals: Dict[tuple, list] = {}
+                for st in ray.get([w.statistics.remote() for w in workers]):
+                    for t, cnt in st["type_counts"].items():
                         totals[t] = totals.get(t, 0) + cnt
-                new_compiled = self._recompile_with_counts(totals)
+                    for k, (succ, tot) in st["cond_stats"].items():
+                        cur = cond_totals.setdefault(k, [0, 0])
+                        cur[0] += succ
+                        cur[1] += tot
+                new_compiled = self._recompile_with_counts(totals,
+                                                           cond_totals)
                 ray.get([w.replan.remote(new_compiled) for w in workers])
                 last_replan = batch_id
             snap_refs = None
