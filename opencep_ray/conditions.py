@@ -186,6 +186,35 @@ class SmallerThanEqCondition(BaseRelationCondition):
         super().__init__(left, right, RelopTypes.SmallerEqual)
 
 
+_FLIP_RELOP = {
+    RelopTypes.Equal: RelopTypes.Equal,
+    RelopTypes.NotEqual: RelopTypes.NotEqual,
+    RelopTypes.Greater: RelopTypes.Smaller,
+    RelopTypes.GreaterEqual: RelopTypes.SmallerEqual,
+    RelopTypes.Smaller: RelopTypes.Greater,
+    RelopTypes.SmallerEqual: RelopTypes.GreaterEqual,
+}
+
+
+def declarative_form(cond):
+    """If ``cond`` is a relop between a ``Col`` reference and a constant,
+    returns ``(attr, relop, const)`` normalized to column-OP-constant;
+    else None.  This is the engine's vectorized-pushdown fast path — the
+    analog of how the reference only exploits ``BaseRelationCondition``
+    structure for sorted storage (tree/nodes/BinaryNode.py:173-189)."""
+    if not isinstance(cond, BaseRelationCondition):
+        return None
+    left, right = cond.left, cond.right
+    lcol = getattr(left, "attr", None) if isinstance(left, Variable) else None
+    rcol = getattr(right, "attr", None) if isinstance(right, Variable) \
+        else None
+    if lcol is not None and not isinstance(right, Variable):
+        return (lcol, cond.relop, right)
+    if rcol is not None and not isinstance(left, Variable):
+        return (rcol, _FLIP_RELOP[cond.relop], left)
+    return None
+
+
 class AndCondition(Condition):
     """Conjunction with short-circuiting (reference:
     condition/CompositeCondition.py:134-171)."""

@@ -62,7 +62,8 @@ class EngineConfig:
                  prob_col: Optional[str] = None,
                  num_partitions: int = 64,
                  hot_keys: Optional[Sequence] = None,
-                 slice_multiple: int = 12):
+                 slice_multiple: int = 12,
+                 vector_pushdown: bool = True):
         self.key_col = key_col
         self.ts_col = ts_col
         self.type_col = type_col
@@ -77,6 +78,8 @@ class EngineConfig:
         # reference parallel/data_parallel/RIPParallelExecutionAlgorithm.py:45-52)
         self.hot_keys = frozenset(hot_keys) if hot_keys else frozenset()
         self.slice_multiple = slice_multiple
+        # vectorized pushdown of declarative leaf conditions pre-shuffle
+        self.vector_pushdown = vector_pushdown
 
 
 def transcript_config(num_partitions: int = 64,
@@ -195,6 +198,31 @@ class BindingsEmitter:
 
 _SLICE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
+_PC_OPS = {
+    "==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+    ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal,
+}
+
+
+def build_type_prefilters(compiled) -> Dict[str, list]:
+    """Vectorized leaf-condition pushdown: for event types where EVERY
+    leaf (across all patterns) carries only declarative Col-vs-constant
+    conditions, rows are kept iff at least one leaf would accept them —
+    evaluated with pyarrow.compute BEFORE the shuffle.  Types with any
+    non-declarative (Python-lambda) or unconditioned leaf are left
+    untouched."""
+    by_type: Dict[str, list] = {}
+    for cp in compiled:
+        for lf in cp.leaves:
+            by_type.setdefault(lf.event_type, []).append(
+                cp.leaf_vector_specs[lf.leaf_id])
+    out = {}
+    for t, specs in by_type.items():
+        if any(s is None or len(s) == 0 for s in specs):
+            continue
+        out[t] = specs
+    return out
+
 
 class _Prep:
     """Vectorized pre-shuffle stage: project, derive type, prefilter,
@@ -208,12 +236,14 @@ class _Prep:
     timestamp) and emitted exactly once — the RIP invariant."""
 
     def __init__(self, cfg: EngineConfig, types_needed: frozenset,
-                 num_partitions: int, max_window_us: int = 0):
+                 num_partitions: int, max_window_us: int = 0,
+                 type_prefilters: Optional[Dict[str, list]] = None):
         self.cfg = cfg
         self.types_needed = list(types_needed)
         self.P = num_partitions
         self.max_window_us = max_window_us
         self.slice_len_us = max(1, cfg.slice_multiple * max_window_us)
+        self.type_prefilters = type_prefilters or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -229,6 +259,8 @@ class _Prep:
         mask = pc.is_in(batch["_type"],
                         value_set=pa.array(self.types_needed, pa.string()))
         batch = batch.filter(mask)
+        if self.type_prefilters and batch.num_rows:
+            batch = self._apply_prefilters(batch)
         ts_us = pc.cast(pc.cast(batch[self.cfg.ts_col], pa.timestamp("us")),
                         pa.int64())
         batch = batch.append_column("_ts_us", ts_us)
@@ -259,6 +291,35 @@ class _Prep:
                     return self._with_part(batch)
         batch = batch.append_column("_slice", pa.array(slice_arr, pa.int64()))
         return self._with_part(batch)
+
+    def _apply_prefilters(self, batch: pa.Table) -> pa.Table:
+        """Drops rows no leaf of their type would accept (nulls compare
+        false, as in SQL — the Python path would raise on None instead,
+        so dropped-before-raise is strictly more permissive)."""
+        keep = None
+        type_arr = batch["_type"]
+        for t, leaf_specs in self.type_prefilters.items():
+            if any(attr not in batch.column_names
+                   for conjs in leaf_specs for attr, _, _ in conjs):
+                continue
+            is_t = pc.equal(type_arr, t)
+            if not pc.any(is_t).as_py():
+                continue
+            accept = None
+            for conjs in leaf_specs:
+                conj_mask = None
+                for attr, op, const in conjs:
+                    m = _PC_OPS[op](batch[attr], const)
+                    conj_mask = m if conj_mask is None \
+                        else pc.and_kleene(conj_mask, m)
+                accept = conj_mask if accept is None \
+                    else pc.or_kleene(accept, conj_mask)
+            accept = pc.fill_null(accept, False)
+            row_keep = pc.or_(pc.invert(is_t), accept)
+            keep = row_keep if keep is None else pc.and_(keep, row_keep)
+        if keep is not None:
+            batch = batch.filter(pc.fill_null(keep, False))
+        return batch
 
     def _with_part(self, batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -358,6 +419,10 @@ class CEP:
         self.max_window_us = max(cp.window_us for cp in self.compiled)
         self.emitter = emitter
 
+    def _prefilters(self):
+        return build_type_prefilters(self.compiled) \
+            if self.cfg.vector_pushdown else {}
+
     def _emitter_for(self, schema: pa.Schema):
         if self.emitter is not None:
             return self.emitter
@@ -380,7 +445,7 @@ class CEP:
         stage's parallelism is capped at the input file count."""
         emitter = self._emitter_for(ds.schema().base_schema)
         prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions,
-                     self.max_window_us)
+                     self.max_window_us, self._prefilters())
         evaluate = _PartitionCEP(self.compiled, self.cfg, emitter,
                                  prep.slice_len_us)
         return (ds.map_batches(prep, batch_format="pyarrow")
@@ -393,7 +458,7 @@ class CEP:
         no Ray session required."""
         emitter = self._emitter_for(table.schema)
         prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions,
-                     self.max_window_us)
+                     self.max_window_us, self._prefilters())
         prepped = prep(table)
         evaluate = _PartitionCEP(self.compiled, self.cfg, emitter,
                                  prep.slice_len_us)

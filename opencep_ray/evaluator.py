@@ -498,6 +498,24 @@ class CompiledPattern:
         for lf in self.leaves:
             self.routes.setdefault(lf.event_type, []).append(lf)
 
+        # vectorized-pushdown specs: for each leaf, the list of
+        # (attr, relop, const) forms when ALL its conditions are
+        # declarative Col-vs-constant relops; None when any condition
+        # needs Python evaluation (the engine then keeps all rows of the
+        # type and lets the leaf decide)
+        from .conditions import declarative_form
+        self.leaf_vector_specs: Dict[int, Optional[list]] = {}
+        for lf in self.leaves:
+            forms = []
+            ok = True
+            for c in lf.conditions:
+                f = declarative_form(c)
+                if f is None:
+                    ok = False
+                    break
+                forms.append(f)
+            self.leaf_vector_specs[lf.leaf_id] = forms if ok else None
+
         # ------------------------------------------------------------------
         # node programs: every node's entry-key layout is fixed, so the
         # merge interleave, precedence comparisons, duplicate-check need,

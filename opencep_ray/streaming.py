@@ -284,11 +284,12 @@ class _Router:
     instead of W filter passes."""
 
     def __init__(self, cfg: EngineConfig, types_needed, num_workers: int,
-                 max_window_us: int = 0):
+                 max_window_us: int = 0, type_prefilters=None):
         from .engine import _Prep
         self.cfg = cfg
         self.W = num_workers
-        self.prep = _Prep(cfg, types_needed, num_workers, max_window_us)
+        self.prep = _Prep(cfg, types_needed, num_workers, max_window_us,
+                          type_prefilters)
 
     def __call__(self, batch: pa.Table) -> List[pa.Table]:
         import numpy as np
@@ -453,8 +454,11 @@ class StreamingCEP:
         os.makedirs(state_dir, exist_ok=True)
 
         emitter = self.emitter or self._default_emitter(files[0])
+        from .engine import build_type_prefilters
+        prefilters = build_type_prefilters(self.compiled) \
+            if self.cfg.vector_pushdown else {}
         router = _Router(self.cfg, self.types_needed, self.num_workers,
-                         self.max_window_us)
+                         self.max_window_us, prefilters)
         workers = [_StreamWorker.remote(w, self.compiled, self.cfg, emitter,
                                         output_dir,
                                         router.prep.slice_len_us,

@@ -5,8 +5,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
-from opencep_ray import (And, Col, GreaterThanCondition, Kleene, Neg, Pattern,
-                         Primitive, Seq, SimpleCondition, Variable)
+from opencep_ray import (And, AndCondition, Col, GreaterThanCondition, Kleene,
+                         Neg, Pattern, Primitive, Seq, SimpleCondition,
+                         SmallerThanCondition, Variable)
 from opencep_ray.engine import CEP, transcript_config
 from opencep_ray.oracle import oracle_matches
 from opencep_ray.sources.transcripts import synth_transcripts, text_v
@@ -102,3 +103,35 @@ def test_ray_multi_pattern(ray_session):
     assert dist == local
     pids = {m[0] for m in local}
     assert pids == {1, 2}
+
+
+def test_vector_pushdown_equivalence():
+    """Declarative leaf conditions pushed down vectorized pre-shuffle give
+    exactly the Python-path results, and actually prune rows."""
+    from opencep_ray.engine import EngineConfig, _Prep, build_type_prefilters
+    from opencep_ray.evaluator import compile_patterns
+    import ray.data as rd
+
+    table = synth_transcripts(40, 15, seed=17)
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                AndCondition(
+                    GreaterThanCondition(Col("a", "turn_idx"), 2),
+                    SmallerThanCondition(Col("b", "turn_idx"), 12)),
+                window=200)
+    cfg_on = transcript_config(num_partitions=4)
+    cfg_off = transcript_config(num_partitions=4)
+    cfg_off.vector_pushdown = False
+    got_on = canonical_matches(CEP(p, cfg_on).run_table(table))
+    got_off = canonical_matches(CEP(p, cfg_off).run_table(table))
+    assert got_on == got_off
+    assert len(got_on) > 0
+
+    cep = CEP(p, cfg_on)
+    prefilters = build_type_prefilters(cep.compiled)
+    assert "user" in prefilters and "assistant" in prefilters
+    prep = _Prep(cep.cfg, cep.types_needed, 4, cep.max_window_us,
+                 prefilters)
+    pruned = prep(table).num_rows
+    prep_off = _Prep(cep.cfg, cep.types_needed, 4, cep.max_window_us, {})
+    unpruned = prep_off(table).num_rows
+    assert pruned < unpruned
