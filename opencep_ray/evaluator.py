@@ -527,6 +527,24 @@ class CompiledPattern:
                                        key=lambda i: (slot_of[root_keys[i]],
                                                       root_keys[i])))
 
+    def structure_summary(self):
+        """Nested-tuple summary of the compiled evaluation tree — the
+        analog of the reference's ``get_structure_summary`` used by its
+        structural plan tests (test/testUtils.py:356-367)."""
+        def walk(spec: _NodeSpec):
+            if spec.kind == _NodeSpec.KIND_LEAF:
+                return spec.leaf.name
+            if spec.kind == _NodeSpec.KIND_KC:
+                return ("KC", walk(spec.children[0]))
+            if spec.kind == _NodeSpec.KIND_NEG:
+                tag = "NSeq" if self.prec else "NAnd"
+                return (tag, walk(spec.children[0]),
+                        walk(spec.children[1]))
+            tag = "Seq" if self.prec else "And"
+            return (tag, walk(spec.children[0]), walk(spec.children[1]))
+
+        return walk(self.root)
+
     # -- node-program compilation ------------------------------------------
     def _subtree_keys(self, spec: _NodeSpec) -> tuple:
         if spec.kind == _NodeSpec.KIND_LEAF:

@@ -115,16 +115,44 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
             for size in range(arg.min_size, max_size + 1):
                 out.extend(combinations(items, size))
             return out
+        if isinstance(arg, Composite) and all(
+                isinstance(a, Primitive) for a in arg.args):
+            # one nesting level: SEQ/AND of primitives inside a slot
+            from itertools import product as _product
+            per_prim = [[e for e in evs if e.type == a.event_type
+                         and passes_filters(a.name, e.payload)]
+                        for a in arg.args]
+            inner_seq = isinstance(arg, Seq)
+            out = []
+            for combo in _product(*per_prim):
+                if len({e.idx for e in combo}) != len(combo):
+                    continue
+                if inner_seq and any(combo[k].ts > combo[k + 1].ts
+                                     for k in range(len(combo) - 1)):
+                    continue
+                out.append(tuple(combo))
+            return out
         raise NotImplementedError(f"oracle does not support {arg!r}")
 
     cand_lists = [candidates(a) for a in pos_args]
 
     window = pattern.window_us
     matches = []
+    # slot kinds drive ordering semantics, matching the evaluator's
+    # per-ENTRY comparisons: a Kleene slot is ONE aggregate entry with
+    # (min_ts, max_ts); a nested-composite slot is one entry PER primitive
+    slot_kind = ["kc" if isinstance(a, Kleene)
+                 else "group" if isinstance(a, Composite)
+                 else "prim" for a in pos_args]
+
+    def entries_of(slot_i, cand):
+        if slot_kind[slot_i] == "kc":
+            return [(cand[0].ts, cand[-1].ts)]
+        return [(e.ts, e.ts) for e in cand]
 
     def slot_span(chosen):
-        mins = [c[0].ts for c in chosen]
-        maxs = [c[-1].ts for c in chosen]
+        mins = [min(e.ts for e in c) for c in chosen]
+        maxs = [max(e.ts for e in c) for c in chosen]
         return mins, maxs
 
     # NOTE on duplicates: the reference's no-duplicate check hashes a
@@ -156,15 +184,17 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
     def order_ok(chosen):
         if not is_seq:
             return True
-        # positive args must be (min_ts, max_ts)-ascending in their
-        # declared relative order
+        # every entry of an earlier arg must precede every entry of a
+        # later arg, component-wise on (min_ts, max_ts) — exactly the
+        # evaluator's precompiled precedence checks
         for a in range(len(chosen)):
             for b in range(a + 1, len(chosen)):
-                if pos_positions[a] < pos_positions[b]:
-                    if chosen[a][0].ts > chosen[b][0].ts:
-                        return False
-                    if chosen[a][-1].ts > chosen[b][-1].ts:
-                        return False
+                if pos_positions[a] >= pos_positions[b]:
+                    continue
+                for amin, amax in entries_of(a, chosen[a]):
+                    for bmin, bmax in entries_of(b, chosen[b]):
+                        if amin > bmin or amax > bmax:
+                            return False
         return True
 
     def binding_of(chosen):
@@ -172,8 +202,11 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
         for arg, cand in zip(pos_args, chosen):
             if isinstance(arg, Primitive):
                 binding[arg.name] = cand[0].payload
-            else:
+            elif isinstance(arg, Kleene):
                 binding[arg.arg.name] = [e.payload for e in cand]
+            else:  # nested composite: bind each inner primitive
+                for prim, e in zip(arg.args, cand):
+                    binding[prim.name] = e.payload
         return binding
 
     def finalize(chosen):
@@ -202,9 +235,12 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
                     continue
                 if max(hi, e.ts) - min(lo, e.ts) > window:
                     continue
-                if is_seq and not _neg_order_ok(pos_idx, e, chosen,
-                                                pos_positions):
-                    continue
+                if is_seq:
+                    entrylists = [entries_of(i, c)
+                                  for i, c in enumerate(chosen)]
+                    if not _neg_order_ok(pos_idx, e, entrylists,
+                                         pos_positions):
+                        continue
                 b2 = dict(binding)
                 b2[neg_prim.name] = e.payload
                 if all(c.eval(b2) for c in neg_conds[neg_prim.name]):
@@ -215,7 +251,13 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
         if prob is not None and pattern.confidence is not None \
                 and prob < pattern.confidence:
             return
-        key = tuple(tuple(e.idx for e in cand) for cand in chosen)
+        key_parts = []
+        for i, cand in enumerate(chosen):
+            if slot_kind[i] == "group":
+                key_parts.extend((e.idx,) for e in cand)
+            else:
+                key_parts.append(tuple(e.idx for e in cand))
+        key = tuple(key_parts)
         matches.append((key, prob, binding))
 
     recurse(0, [], set())
@@ -223,16 +265,18 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
             for (m, prob, binding) in matches]
 
 
-def _neg_order_ok(neg_pos, neg_ev, chosen, pos_positions):
+def _neg_order_ok(neg_pos, neg_ev, entrylists, pos_positions):
     """SEQ ordering for a negative event at declared position ``neg_pos``:
-    it must fall (by min-timestamp order) between the positives before and
+    per entry, min-timestamp order against every positive entry before and
     after it (NSeq validation, tree/nodes/NegationNode.py:246-250)."""
-    for i, cand in enumerate(chosen):
+    for i, entries in enumerate(entrylists):
         p = pos_positions[i]
         if p < neg_pos:
-            if cand[0].ts > neg_ev.ts:
-                return False
+            for emin, _ in entries:
+                if emin > neg_ev.ts:
+                    return False
         elif p > neg_pos:
-            if neg_ev.ts > cand[0].ts:
-                return False
+            for emin, _ in entries:
+                if neg_ev.ts > emin:
+                    return False
     return True

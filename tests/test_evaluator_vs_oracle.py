@@ -294,3 +294,41 @@ def test_kleene_with_negation(seed):
                     Neg(Primitive("tool", "x"))),
                 window=10)
     check(p, gen_stream(seed + 2100, n=14))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_nested_and_inside_seq(seed):
+    # SEQ(a, AND(b, c), d): b/c unordered between themselves but strictly
+    # between a and d (entry-level precedence)
+    p = Pattern(Seq(Primitive("user", "a"),
+                    And(Primitive("assistant", "b"), Primitive("tool", "c")),
+                    Primitive("user", "d")),
+                window=12)
+    check(p, gen_stream(seed + 2200, n=16))
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_nested_seq_inside_and(seed):
+    # AND(SEQ(a, b), c): a before b; c anywhere in the window
+    p = Pattern(And(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                    Primitive("tool", "c")),
+                window=10)
+    check(p, gen_stream(seed + 2300, n=16))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nested_seq_inside_seq_with_condition(seed):
+    p = Pattern(Seq(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                    Primitive("tool", "c")),
+                GreaterThanCondition(Col("c", "v"), Col("a", "v")),
+                window=12)
+    check(p, gen_stream(seed + 2400, n=16))
+
+
+def test_structure_summary():
+    p = Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b")),
+                    Neg(Primitive("tool", "x"))),
+                window=10)
+    cp = compile_patterns(p)[0]
+    assert cp.structure_summary() == ("NSeq", ("Seq", "a", ("KC", "b")), "x")
