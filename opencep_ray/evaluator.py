@@ -145,7 +145,8 @@ class _NodeSpec:
     __slots__ = ("kind", "children", "leaf", "conditions", "names",
                  "min_size", "max_size", "is_unbounded", "is_first_unbounded",
                  "kc_key", "kc_slot", "node_id",
-                 "merge_plan", "prec_checks", "needs_dup", "cond_plan")
+                 "merge_plan", "prec_checks", "needs_dup", "cond_plan",
+                 "eq_probe")
 
     def __init__(self, kind, children=(), leaf=None):
         self.kind = kind
@@ -166,6 +167,11 @@ class _NodeSpec:
         self.prec_checks = ()     # tuple[(i, j, check_max)] over merged idx
         self.needs_dup = False    # same event type on both sides?
         self.cond_plan = ()       # tuple[(merged_idx, name)] for bindings
+        # equality-probe plan: (left_pos, left_attr, right_pos, right_attr)
+        # — buffers become hash maps keyed by the join value (the engine's
+        # analog of the reference's sorted-storage key probes,
+        # tree/PatternMatchStorage.py:173-283)
+        self.eq_probe = None
 
 
 class CompiledPattern:
@@ -600,8 +606,41 @@ class CompiledPattern:
             spec.cond_plan = tuple(
                 (idx, name) for idx, k in enumerate(merged_keys)
                 for name in self.entry_names[k])
+            if spec.kind == _NodeSpec.KIND_JOIN:
+                spec.eq_probe = self._find_eq_probe(spec, lkeys, rkeys)
 
         compile_node(self.root)
+
+    def _find_eq_probe(self, spec: _NodeSpec, lkeys: tuple, rkeys: tuple):
+        """Finds an equality condition Col(a, x) == Col(b, y) linking one
+        primitive leaf on each side of the join — enables hash-probed
+        buffers instead of linear scans."""
+        from .conditions import Variable
+        from .conditions import BaseRelationCondition, RelopTypes
+        n_leaves = len(self.leaves)
+        name_to_leafkey = {}
+        for lf in self.leaves:
+            name_to_leafkey[lf.name] = lf.leaf_id
+        for c in spec.conditions:
+            if not isinstance(c, BaseRelationCondition) \
+                    or c.relop != RelopTypes.Equal:
+                continue
+            left, right = c.left, c.right
+            if not (isinstance(left, Variable) and isinstance(right, Variable)):
+                continue
+            la = getattr(left, "attr", None)
+            ra = getattr(right, "attr", None)
+            if la is None or ra is None:
+                continue
+            lk = name_to_leafkey.get(left.name)
+            rk = name_to_leafkey.get(right.name)
+            if lk is None or rk is None or lk >= n_leaves or rk >= n_leaves:
+                continue
+            if lk in lkeys and rk in rkeys:
+                return (lkeys.index(lk), la, rkeys.index(rk), ra)
+            if rk in lkeys and lk in rkeys:
+                return (lkeys.index(rk), ra, rkeys.index(lk), la)
+        return None
 
 
 def compile_patterns(patterns, statistics: Optional[dict] = None,
@@ -665,7 +704,11 @@ class ConversationEvaluator:
         def inst(spec: _NodeSpec) -> _RTNode:
             node = _RTNode(spec)
             nodes[spec.node_id] = node
-            if spec.kind in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
+            if spec.kind == _NodeSpec.KIND_JOIN and spec.eq_probe is not None:
+                # hash-probed buffers keyed by the equality join value
+                node.buffers = [{"d": {}, "min": None},
+                                {"d": {}, "min": None}]
+            elif spec.kind in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
                 node.buffers = [[], []]
             elif spec.kind == _NodeSpec.KIND_KC:
                 node.buffers = [[]]
@@ -770,9 +813,14 @@ class ConversationEvaluator:
                     return False
                 if node.buffers:
                     for buf in node.buffers:
-                        _expire(buf, threshold)
-                        if buf:
-                            return False
+                        if isinstance(buf, dict):
+                            _hb_expire(buf, threshold)
+                            if buf["d"]:
+                                return False
+                        else:
+                            _expire(buf, threshold)
+                            if buf:
+                                return False
         return not self.matches
 
     # -- leaves -------------------------------------------------------------
@@ -813,14 +861,29 @@ class ConversationEvaluator:
     # -- join ---------------------------------------------------------------
     def _join_on_child(self, tree, node: _RTNode, pm: PM, side: int):
         cp = tree["cp"]
-        threshold = pm.last_ts - cp.window_us
-        other = node.buffers[1 - side]
-        _expire(other, threshold)
-        _expire(node.buffers[side], threshold)
-        node.buffers[side].append(pm)
         spec = node.spec
+        threshold = pm.last_ts - cp.window_us
+        probe = spec.eq_probe
+        if probe is not None:
+            lpos, lattr, rpos, rattr = probe
+            my_buf = node.buffers[side]
+            other_buf = node.buffers[1 - side]
+            _hb_expire(other_buf, threshold)
+            _hb_expire(my_buf, threshold)
+            if side == 0:
+                my_val = pm.entries[lpos][1].payload[lattr]
+            else:
+                my_val = pm.entries[rpos][1].payload[rattr]
+            _hb_add(my_buf, my_val, pm)
+            candidates = other_buf["d"].get(my_val, ())
+        else:
+            other = node.buffers[1 - side]
+            _expire(other, threshold)
+            _expire(node.buffers[side], threshold)
+            node.buffers[side].append(pm)
+            candidates = other
         plan = spec.merge_plan
-        for opm in other:
+        for opm in candidates:
             left = pm.entries if side == 0 else opm.entries
             right = opm.entries if side == 0 else pm.entries
             merged = tuple(left[i] if s == 0 else right[i]
@@ -1066,6 +1129,38 @@ def _expire(buf: List[PM], threshold: int):
     creation so eager cleanup never changes results)."""
     if buf and buf[0].first_ts < threshold:
         buf[:] = [p for p in buf if p.first_ts >= threshold]
+
+
+def _hb_add(buf: dict, val, pm: PM):
+    """Insert into a hash-probed buffer keyed by the equality join value."""
+    d = buf["d"]
+    lst = d.get(val)
+    if lst is None:
+        d[val] = [pm]
+    else:
+        lst.append(pm)
+    if buf["min"] is None or pm.first_ts < buf["min"]:
+        buf["min"] = pm.first_ts
+
+
+def _hb_expire(buf: dict, threshold: int):
+    """Window expiry for a hash-probed buffer; skipped entirely while the
+    oldest resident is still fresh."""
+    m = buf["min"]
+    if m is None or m >= threshold:
+        return
+    d = buf["d"]
+    new_min = None
+    for val in list(d):
+        lst = [p for p in d[val] if p.first_ts >= threshold]
+        if lst:
+            d[val] = lst
+            for p in lst:
+                if new_min is None or p.first_ts < new_min:
+                    new_min = p.first_ts
+        else:
+            del d[val]
+    buf["min"] = new_min
 
 
 def _merge_entries(a, b):

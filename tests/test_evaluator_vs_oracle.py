@@ -332,3 +332,29 @@ def test_structure_summary():
                 window=10)
     cp = compile_patterns(p)[0]
     assert cp.structure_summary() == ("NSeq", ("Seq", "a", ("KC", "b")), "x")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_equality_join_hash_probe(seed):
+    # Col == Col between the two sides activates hash-probed buffers;
+    # results must be identical to the oracle's exhaustive join
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                AndCondition(EqCondition(Col("a", "v"), Col("b", "v")),
+                             GreaterThanCondition(Col("b", "turn"),
+                                                  Col("a", "turn"))),
+                window=20)
+    compiled = compile_patterns(p)
+    assert compiled[0].root.eq_probe is not None or \
+        any(n.eq_probe for n in [compiled[0].root]), \
+        "equality probe not compiled"
+    check(p, gen_stream(seed + 2500, n=25, val_range=5))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_equality_probe_three_events(seed):
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Primitive("tool", "c")),
+                AndCondition(EqCondition(Col("a", "v"), Col("b", "v")),
+                             EqCondition(Col("b", "v"), Col("c", "v"))),
+                window=25)
+    check(p, gen_stream(seed + 2600, n=22, val_range=4))
