@@ -572,6 +572,8 @@ class StreamingCEP:
             ray.kill(w)
         return {"batches": n_batches,
                 "rows": sum(s["rows"] for s in stats),
+                "live_conversations": sum(s["live_conversations"]
+                                          for s in stats),
                 "workers": self.num_workers,
                 "setup_sec": round(t_ready - t_start, 3),
                 "stream_sec": round(t_done - t_ready, 3),
