@@ -674,22 +674,56 @@ class _RTNode:
         self.filtered = None     # single-policy used-event idx set
 
 
+class SheddingConfig:
+    """Optional load-shedding valve — OFF by default because it
+    intentionally trades recall for bounded latency/memory, like the
+    reference fork's CitiBike layer (engine/LoadSheddingCEP.py:39-110,
+    tree/LoadSheddingPatternMatchStorage.py:39-184).  When the number of
+    live partial matches in an evaluator exceeds ``max_partial_matches``,
+    buffers are shed down to ``target`` by dropping the lowest-utility
+    partials.  Utility mirrors the reference's heuristic
+    (base/PatternMatch.py:45-84): longer chains and more remaining window
+    time are worth keeping; ``"oldest"`` and ``"random"`` strategies match
+    the fork's alternatives (minus its deliberate randomness, so runs stay
+    deterministic)."""
+
+    def __init__(self, max_partial_matches: int = 10_000,
+                 target: int = 5_000, strategy: str = "utility",
+                 seed: int = 17):
+        assert strategy in ("utility", "oldest", "random")
+        self.max_partial_matches = max_partial_matches
+        self.target = target
+        self.strategy = strategy
+        self.seed = seed
+
+
 class ConversationEvaluator:
     """Evaluates compiled patterns over one key's events, fed in arrival
     order.  Matches accumulate in ``self.matches`` as (pattern_id, PM)."""
 
     __slots__ = ("compiled", "matches", "_counter", "_agg_counter", "_trees",
-                 "_history", "_max_window_us", "cond_stats")
+                 "_history", "_max_window_us", "cond_stats",
+                 "shedding", "shed_count", "_shed_tick", "_last_ts",
+                 "_shed_rng")
 
     def __init__(self, compiled: List[CompiledPattern],
                  retain_events: bool = False,
-                 cond_stats: Optional[Dict] = None):
+                 cond_stats: Optional[Dict] = None,
+                 shedding: Optional["SheddingConfig"] = None):
         self.compiled = compiled
         self.matches: List[Tuple[int, PM]] = []
         self._counter = 0
         self._agg_counter = 0
         # optional shared {(pattern_id, conjunct_idx): [successes, total]}
         self.cond_stats = cond_stats
+        self.shedding = shedding
+        self.shed_count = 0
+        self._shed_tick = 0
+        self._last_ts = 0
+        self._shed_rng = None
+        if shedding is not None and shedding.strategy == "random":
+            import random as _random
+            self._shed_rng = _random.Random(shedding.seed)
         self._trees = [self._instantiate(cp) for cp in compiled]
         # optional in-window event history, enabling replan-with-replay
         # (the reference's tree-swap replay trick,
@@ -771,6 +805,12 @@ class ConversationEvaluator:
                 if freezers is not None and lf.name in cp.freezer_names:
                     freezers.append(ev)
                 self._leaf_accept(tree, lf, ev)
+        if self.shedding is not None:
+            self._last_ts = ts_us
+            self._shed_tick += 1
+            if self._shed_tick >= 32:
+                self._shed_tick = 0
+                self._maybe_shed()
 
     def advance_watermark(self, ts_us: int):
         """Flush pending unbounded-negation matches whose window has fully
@@ -782,6 +822,70 @@ class ConversationEvaluator:
         """End of stream: flush all pending matches (tree/Tree.py:224-238)."""
         for tree in self._trees:
             self._flush_pending(tree, None)
+
+    # -- load shedding ------------------------------------------------------
+    def _iter_buffers(self):
+        for tree in self._trees:
+            for node in tree["nodes"]:
+                if node.buffers:
+                    for buf in node.buffers:
+                        yield buf
+
+    def _live_pm_count(self) -> int:
+        total = 0
+        for buf in self._iter_buffers():
+            if isinstance(buf, dict):
+                for lst in buf["d"].values():
+                    total += len(lst)
+            else:
+                total += len(buf)
+        return total
+
+    def _utility(self, pm: PM) -> float:
+        """Reference heuristic (base/PatternMatch.py:45-84): longer chains
+        and more remaining window time score higher (the domain-specific
+        target-station term is omitted)."""
+        cfg = self.shedding
+        if cfg.strategy == "oldest":
+            return float(pm.first_ts)
+        if cfg.strategy == "random":
+            return self._shed_rng.random()
+        time_remaining_min = (self._max_window_us
+                              - (self._last_ts - pm.first_ts)) / 60e6
+        return len(pm.entries) * 10.0 + time_remaining_min
+
+    def _maybe_shed(self):
+        cfg = self.shedding
+        total = self._live_pm_count()
+        if total <= cfg.max_partial_matches:
+            return
+        scored = []
+        for buf in self._iter_buffers():
+            if isinstance(buf, dict):
+                for lst in buf["d"].values():
+                    scored.extend((self._utility(p), id(p)) for p in lst)
+            else:
+                scored.extend((self._utility(p), id(p)) for p in buf)
+        scored.sort(key=lambda t: t[0])
+        n_drop = total - cfg.target
+        drop = {pid for _, pid in scored[:n_drop]}
+        for buf in self._iter_buffers():
+            if isinstance(buf, dict):
+                d = buf["d"]
+                new_min = None
+                for val in list(d):
+                    lst = [p for p in d[val] if id(p) not in drop]
+                    if lst:
+                        d[val] = lst
+                        for p in lst:
+                            if new_min is None or p.first_ts < new_min:
+                                new_min = p.first_ts
+                    else:
+                        del d[val]
+                buf["min"] = new_min
+            else:
+                buf[:] = [p for p in buf if id(p) not in drop]
+        self.shed_count += n_drop
 
     def rebuilt_with(self, new_compiled: List[CompiledPattern],
                      cond_stats: Optional[Dict] = None

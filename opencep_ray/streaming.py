@@ -51,12 +51,13 @@ class _WorkerCore:
 
     def __init__(self, compiled: List[CompiledPattern], cfg: EngineConfig,
                  emitter, slice_len_us: int = 1,
-                 retain_events: bool = False):
+                 retain_events: bool = False, shedding=None):
         self.compiled = compiled
         self.cfg = cfg
         self.emitter = emitter
         self.slice_len_us = slice_len_us
         self.retain_events = retain_events  # enables replan-with-replay
+        self.shedding = shedding            # optional overload valve
         # keyed by (conv_id, slice); slice is -1 for non-hot keys
         self.evaluators: Dict[object, ConversationEvaluator] = {}
         self.watermark_us = None
@@ -119,7 +120,8 @@ class _WorkerCore:
             if ev is None:
                 ev = ConversationEvaluator(self.compiled,
                                            retain_events=self.retain_events,
-                                           cond_stats=self.cond_stats)
+                                           cond_stats=self.cond_stats,
+                                           shedding=self.shedding)
                 self.evaluators[ev_key] = ev
             j = i
             while j < n and keys[j] == key and \
@@ -215,7 +217,8 @@ class _StreamWorker:
     batches and commits the manifest)."""
 
     def __init__(self, worker_id, compiled, cfg, emitter, output_dir,
-                 slice_len_us: int = 1, retain_events: bool = False):
+                 slice_len_us: int = 1, retain_events: bool = False,
+                 shedding=None):
         # one scheduling slot = one core: pin Arrow's internal pool so a
         # worker can't silently use cores beyond its num_cpus reservation
         # (keeps the two-parallelism-level scaling measurement honest)
@@ -224,7 +227,7 @@ class _StreamWorker:
         self.worker_id = worker_id
         self.output_dir = output_dir
         self.core = _WorkerCore(compiled, cfg, emitter, slice_len_us,
-                                retain_events)
+                                retain_events, shedding)
 
     def _write(self, table: pa.Table, batch_id: int, suffix: str = "") -> int:
         if table.num_rows == 0:
@@ -274,7 +277,9 @@ class _StreamWorker:
     def stats(self) -> dict:
         return {"rows": self.core.rows_processed,
                 "busy_sec": round(self.core.busy_sec, 3),
-                "live_conversations": len(self.core.evaluators)}
+                "live_conversations": len(self.core.evaluators),
+                "shed_partials": sum(ev.shed_count for ev in
+                                     self.core.evaluators.values())}
 
 
 class _Router:
@@ -339,7 +344,7 @@ class StreamingCEP:
                  checkpoint_every: int = 8,
                  ts_ordered_input: bool = False,
                  adaptive: bool = False, replan_every: int = 16,
-                 tree_builder: str = "greedy"):
+                 tree_builder: str = "greedy", shedding=None):
         from .pattern import Pattern
         self.cfg = cfg or EngineConfig()
         self._patterns = [patterns] if isinstance(patterns, Pattern) \
@@ -358,6 +363,9 @@ class StreamingCEP:
         self.adaptive = adaptive
         self.replan_every = replan_every
         self.tree_builder = tree_builder
+        # optional load-shedding valve (recall tradeoff — OFF by default;
+        # see evaluator.SheddingConfig)
+        self.shedding = shedding
 
     def _recompile_with_counts(self, counts: dict,
                                cond_stats: Optional[dict] = None):
@@ -462,7 +470,7 @@ class StreamingCEP:
         workers = [_StreamWorker.remote(w, self.compiled, self.cfg, emitter,
                                         output_dir,
                                         router.prep.slice_len_us,
-                                        self.adaptive)
+                                        self.adaptive, self.shedding)
                    for w in range(self.num_workers)]
 
         start_after = -1
@@ -562,6 +570,14 @@ class StreamingCEP:
         # end of stream: flush pending unbounded-negation matches
         ray.get([w.eos.remote(999_999) for w in workers])
         stats = ray.get([w.stats.remote() for w in workers])
+        # per-partition lineage + metrics (north rule)
+        _atomic_write_json(os.path.join(output_dir, "metrics.json"), {
+            "workers": [{"worker": i, **s} for i, s in enumerate(stats)],
+            "total_rows": sum(s["rows"] for s in stats),
+            "total_shed_partials": sum(s.get("shed_partials", 0)
+                                       for s in stats),
+            "batches": n_batches,
+        })
         _atomic_write_json(manifest_path, {
             "checkpoint": None, "eos": True,
             "batches": n_batches,

@@ -189,3 +189,36 @@ def test_plan_builders_do_not_change_results():
     assert len(base) > 0
     for builder, res in results.items():
         assert res == base, builder
+
+
+def test_load_shedding_valve(ray_session, tmp_path):
+    """The optional shedding valve bounds live partial matches, trading
+    recall: the shed run's matches are a strict subset of the full run's
+    (reference fork behavior, engine/LoadSheddingCEP.py)."""
+    import json
+    from opencep_ray.evaluator import SheddingConfig
+
+    table = synth_transcripts(6, 300, seed=44)   # long convs -> many partials
+    src = str(tmp_path / "long.parquet")
+    pq.write_table(table, src)
+    wide = [Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                    window=3600, pattern_id=1)]
+
+    full_dir = str(tmp_path / "full")
+    StreamingCEP(wide, transcript_config(), num_workers=2) \
+        .run_files([src], full_dir, micro_batch_rows=300)
+    full = set(canonical(read_matches(full_dir)))
+
+    shed_dir = str(tmp_path / "shed")
+    StreamingCEP(wide, transcript_config(), num_workers=2,
+                 shedding=SheddingConfig(max_partial_matches=40,
+                                         target=20)) \
+        .run_files([src], shed_dir, micro_batch_rows=300)
+    shed = set(canonical(read_matches(shed_dir)))
+
+    assert shed < full            # strictly fewer matches (recall tradeoff)
+    assert len(shed) > 0
+    metrics = json.load(open(os.path.join(shed_dir, "metrics.json")))
+    assert metrics["total_shed_partials"] > 0
+    full_metrics = json.load(open(os.path.join(full_dir, "metrics.json")))
+    assert full_metrics["total_shed_partials"] == 0
