@@ -154,14 +154,15 @@ class MatchesEmitter:
 
     def row(self, pattern_id: int, key, pm, cp: CompiledPattern,
             evaluator) -> dict:
-        events = []
-        for e in ConversationEvaluator.primitive_events(pm, cp):
-            p = e.payload
-            events.append({n: p.get(n) for n in self._event_names})
+        # payload dicts go in as-is: Arrow's struct conversion projects to
+        # the schema fields and ignores extra keys (the hidden arrival
+        # index, partition columns), so no per-event dict copies are made
         return {
             "pattern_id": pattern_id,
             self.cfg.key_col: key,
-            "match_events": events,
+            "match_events": [
+                e.payload
+                for e in ConversationEvaluator.primitive_events(pm, cp)],
             "first_ts": pm.first_ts,
             "last_ts": pm.last_ts,
             "probability": pm.prob,

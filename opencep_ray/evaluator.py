@@ -146,7 +146,7 @@ class _NodeSpec:
                  "min_size", "max_size", "is_unbounded", "is_first_unbounded",
                  "kc_key", "kc_slot", "node_id",
                  "merge_plan", "prec_checks", "needs_dup", "cond_plan",
-                 "eq_probe")
+                 "eq_probe", "merge_fn")
 
     def __init__(self, kind, children=(), leaf=None):
         self.kind = kind
@@ -172,6 +172,7 @@ class _NodeSpec:
         # analog of the reference's sorted-storage key probes,
         # tree/PatternMatchStorage.py:173-283)
         self.eq_probe = None
+        self.merge_fn = None      # shape-specialized merge closure
 
 
 class CompiledPattern:
@@ -587,6 +588,7 @@ class CompiledPattern:
             tagged.sort()
             merged_keys = tuple(t[0] for t in tagged)
             spec.merge_plan = tuple((t[1], t[2]) for t in tagged)
+            spec.merge_fn = _make_merge_fn(spec.merge_plan)
             # at negation nodes order is validated by min-ts only
             # (NegativeSeqNode._validate, tree/nodes/NegationNode.py:246-250)
             check_max = spec.kind == _NodeSpec.KIND_JOIN
@@ -986,14 +988,21 @@ class ConversationEvaluator:
             _expire(node.buffers[side], threshold)
             node.buffers[side].append(pm)
             candidates = other
-        plan = spec.merge_plan
+        merge = spec.merge_fn
+        w = cp.window_us
+        pm_first, pm_last, pm_prob = pm.first_ts, pm.last_ts, pm.prob
+        pm_entries = pm.entries
         for opm in candidates:
-            left = pm.entries if side == 0 else opm.entries
-            right = opm.entries if side == 0 else pm.entries
-            merged = tuple(left[i] if s == 0 else right[i]
-                           for s, i in plan)
+            # window precheck from the two PM spans (avoids per-entry scan)
+            lo = opm.first_ts if opm.first_ts < pm_first else pm_first
+            hi = opm.last_ts if opm.last_ts > pm_last else pm_last
+            if hi - lo > w:
+                continue
+            merged = merge(pm_entries, opm.entries) if side == 0 \
+                else merge(opm.entries, pm_entries)
             new_pm = self._validate(cp, spec, merged,
-                                    _joint_prob(pm.prob, opm.prob))
+                                    _joint_prob(pm_prob, opm.prob),
+                                    lo, hi)
             if new_pm is not None and self._pass_policy(tree, node, new_pm):
                 self._emit_to_parent(tree, node, new_pm)
 
@@ -1044,10 +1053,9 @@ class ConversationEvaluator:
         _expire(neg_buf, pm.last_ts - cp.window_us)
         prob = pm.prob
         spec = node.spec
-        plan = spec.merge_plan
+        merge = spec.merge_fn
         for npm in neg_buf:
-            merged = tuple(pm.entries[i] if s == 0 else npm.entries[i]
-                           for s, i in plan)
+            merged = merge(pm.entries, npm.entries)
             if self._validate(cp, spec, merged,
                               _joint_prob(prob, npm.prob)) is not None:
                 if npm.prob is not None:
@@ -1074,10 +1082,9 @@ class ConversationEvaluator:
             return
         keep = []
         spec = node.spec
-        plan = spec.merge_plan
+        merge = spec.merge_fn
         for ppm in first.pending:
-            merged = tuple(ppm.entries[i] if s == 0 else pm.entries[i]
-                           for s, i in plan)
+            merged = merge(ppm.entries, pm.entries)
             invalid = False
             if self._validate(cp, spec, merged,
                               _joint_prob(ppm.prob, pm.prob)) is not None:
@@ -1107,18 +1114,20 @@ class ConversationEvaluator:
 
     # -- validation ---------------------------------------------------------
     def _validate(self, cp: CompiledPattern, spec: _NodeSpec,
-                  entries, prob) -> Optional[PM]:
-        # window (tree/nodes/Node.py:187-193)
-        e0 = entries[0][1]
-        min_ts = e0.min_ts
-        max_ts = e0.max_ts
-        for _, e in entries:
-            if e.min_ts < min_ts:
-                min_ts = e.min_ts
-            if e.max_ts > max_ts:
-                max_ts = e.max_ts
-        if max_ts - min_ts > cp.window_us:
-            return None
+                  entries, prob, min_ts=None, max_ts=None) -> Optional[PM]:
+        # window (tree/nodes/Node.py:187-193); bounds may be precomputed
+        # from the two joined PM spans
+        if min_ts is None:
+            e0 = entries[0][1]
+            min_ts = e0.min_ts
+            max_ts = e0.max_ts
+            for _, e in entries:
+                if e.min_ts < min_ts:
+                    min_ts = e.min_ts
+                if e.max_ts > max_ts:
+                    max_ts = e.max_ts
+            if max_ts - min_ts > cp.window_us:
+                return None
         # duplicate events — only when the same event type can bind on
         # both sides (tree/nodes/InternalNode.py:28-30)
         if spec.needs_dup:
@@ -1233,6 +1242,23 @@ def _expire(buf: List[PM], threshold: int):
     creation so eager cleanup never changes results)."""
     if buf and buf[0].first_ts < threshold:
         buf[:] = [p for p in buf if p.first_ts >= threshold]
+
+
+def _make_merge_fn(plan):
+    """Shape-specialized merge closures for the common small joins — avoids
+    a generator expression per candidate pair in the hot loop."""
+    if plan == ((0, 0), (1, 0)):
+        return lambda l, r: (l[0], r[0])
+    if plan == ((1, 0), (0, 0)):
+        return lambda l, r: (r[0], l[0])
+    if plan == ((0, 0), (0, 1), (1, 0)):
+        return lambda l, r: (l[0], l[1], r[0])
+    if plan == ((0, 0), (1, 0), (0, 1)):
+        return lambda l, r: (l[0], r[0], l[1])
+    if plan == ((1, 0), (0, 0), (0, 1)):
+        return lambda l, r: (r[0], l[0], l[1])
+    return lambda l, r, p=plan: tuple(l[i] if s == 0 else r[i]
+                                      for s, i in p)
 
 
 def _hb_add(buf: dict, val, pm: PM):
