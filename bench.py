@@ -203,12 +203,14 @@ def run_bench() -> dict:
 def run_scaling():
     """Same job, same input, fresh processes at 8 vs 32 CPUs.
 
-    Uses a 5× larger transcripts table (3M turns) and only the flagship
-    CEP pipeline, so compute dominates fixed pipeline overhead — the
-    sandbox stand-in for the N vs 4N cluster-size criterion."""
+    Uses an 8M-turn transcripts table and only the flagship CEP
+    pipeline, so per-worker compute dominates fixed pipeline overhead at
+    both levels — the sandbox stand-in for the N vs 4N cluster-size
+    criterion.  Best-of-N fresh-process runs per level (identical
+    treatment) filter shared-box noise."""
     import subprocess
 
-    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "150000"))
+    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "400000"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -227,7 +229,13 @@ def run_scaling():
                    env=env, check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)))
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # best-of-N per level: identical treatment at both levels, filtering
+    # the co-tenant / frequency-scaling noise of this shared box
+    runs_lo = [one(lo) for _ in range(repeats)]
+    runs_hi = [one(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["queries"]["cep_stream"])
+    r_hi = min(runs_hi, key=lambda r: r["queries"]["cep_stream"])
     t_lo = r_lo["queries"]["cep_stream"]
     t_hi = r_hi["queries"]["cep_stream"]
     rows = r_lo["transcript_rows"]
