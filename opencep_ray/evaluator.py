@@ -1293,18 +1293,3 @@ def _hb_expire(buf: dict, threshold: int):
     buf["min"] = new_min
 
 
-def _merge_entries(a, b):
-    """Merge two entry tuples sorted by entry key."""
-    out = []
-    i = j = 0
-    na, nb = len(a), len(b)
-    while i < na and j < nb:
-        if a[i][0] <= b[j][0]:
-            out.append(a[i])
-            i += 1
-        else:
-            out.append(b[j])
-            j += 1
-    out.extend(a[i:])
-    out.extend(b[j:])
-    return tuple(out)
