@@ -212,6 +212,11 @@ def build_type_prefilters(compiled) -> Dict[str, list]:
     evaluated with pyarrow.compute BEFORE the shuffle.  Types with any
     non-declarative (Python-lambda) or unconditioned leaf are left
     untouched."""
+    # contiguity compares arrival indices, which are assigned to every
+    # routed event BEFORE leaf conditions — dropping rows pre-assignment
+    # would change adjacency, so pushdown is disabled wholesale then
+    if any(getattr(cp, "has_contiguity", False) for cp in compiled):
+        return {}
     by_type: Dict[str, list] = {}
     for cp in compiled:
         for lf in cp.leaves:

@@ -322,6 +322,12 @@ class CompiledPattern:
             conjuncts = flat if flat else [pattern.condition]
 
         cp = pattern.consumption_policy
+        # NOTE: adjacency here is relative to the pattern's OWN event types
+        # (the engine prunes irrelevant types before evaluation); the
+        # reference's global counter also counts stream events of types the
+        # pattern never references (base/Event.py:13-27) — a deliberate
+        # divergence documented in COVERAGE.md.
+        self.has_contiguity = bool(cp is not None and cp.contiguous_names)
         if cp is not None and cp.contiguous_names:
             seqs = cp.contiguous_names
             if seqs and isinstance(seqs[0], str):

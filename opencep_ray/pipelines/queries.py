@@ -183,6 +183,56 @@ JOIN events k2 ON k2.user_id = u AND k2.event_type = 'click'
 """
 
 
+def cep_or(sf_dir):
+    """Top-level OR: rewritten into a multi-pattern union at compile time
+    (transformation.prepare_patterns); both disjuncts carry the source
+    pattern id."""
+    from ..pattern import Or
+    p = Pattern(Or(Seq(Primitive("view", "a"), Primitive("purchase", "b")),
+                   Seq(Primitive("signup", "a"), Primitive("error", "b"))),
+                window=6 * HOUR)
+    return CEP(p, _events_cfg(), _ids_emitter(["a", "b"])).run(_events(sf_dir))
+
+
+CEP_OR_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND a.ts <= b.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+UNION ALL
+SELECT a.user_id, a.event_id, b.event_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'signup' AND b.event_type = 'error'
+  AND a.ts <= b.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 21600000000
+"""
+
+
+def cep_contiguity(sf_dir):
+    """Contiguity consumption policy: a and b must be adjacent in arrival
+    order among the pattern's event types (rewritten into arrival-index
+    adjacency conditions, base/Pattern.py:175-182)."""
+    from ..pattern import ConsumptionPolicy
+    p = Pattern(Seq(Primitive("view", "a"), Primitive("purchase", "b")),
+                window=24 * HOUR,
+                consumption_policy=ConsumptionPolicy(contiguous=["a", "b"]))
+    return CEP(p, _events_cfg(), _ids_emitter(["a", "b"])).run(_events(sf_dir))
+
+
+CEP_CONTIGUITY_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+  AND a.ts <= b.ts
+  AND epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = a.user_id
+      AND x.event_type IN ('view', 'purchase')
+      AND (x.ts, x.event_id) > (a.ts, a.event_id)
+      AND (x.ts, x.event_id) < (b.ts, b.event_id))
+"""
+
+
 # ---------------------------------------------------------------------------
 # CEP over the canonical transcripts table (ts ties included)
 
@@ -574,6 +624,8 @@ QUERIES = {
     "cep_and": cep_and,
     "cep_negation": cep_negation,
     "cep_kleene": cep_kleene,
+    "cep_or": cep_or,
+    "cep_contiguity": cep_contiguity,
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
     "window_tumbling": window_tumbling,
@@ -602,6 +654,8 @@ ORACLES = {
     "cep_and": CEP_AND_SQL,
     "cep_negation": CEP_NEG_SQL,
     "cep_kleene": CEP_KLEENE_SQL,
+    "cep_or": CEP_OR_SQL,
+    "cep_contiguity": CEP_CONTIGUITY_SQL,
     "cep_transcripts_seq2": CEP_TRANSCRIPTS_SEQ2_SQL,
     "cep_transcripts_negation": CEP_TRANSCRIPTS_NEG_SQL,
     "window_tumbling": WINDOW_TUMBLING_SQL,

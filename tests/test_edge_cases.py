@@ -1,0 +1,86 @@
+"""Edge cases and robustness: empty inputs, absent types, null payloads,
+single-turn conversations, pushdown × contiguity interaction."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from opencep_ray import (Col, ConsumptionPolicy, GreaterThanCondition,
+                         Pattern, Primitive, Seq)
+from opencep_ray.engine import CEP, transcript_config
+from opencep_ray.sources.transcripts import SCHEMA, synth_transcripts
+
+
+def _empty_table():
+    return synth_transcripts(1, 2, seed=1).slice(0, 0)
+
+
+def test_empty_input():
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=60)
+    out = CEP(p, transcript_config(num_partitions=2)) \
+        .run_table(_empty_table())
+    assert out.num_rows == 0
+    assert "match_events" in out.schema.names
+
+
+def test_types_absent_from_data():
+    table = synth_transcripts(10, 8, seed=2)
+    p = Pattern(Seq(Primitive("nonexistent_role", "a"),
+                    Primitive("assistant", "b")), window=60)
+    out = CEP(p, transcript_config(num_partitions=2)).run_table(table)
+    assert out.num_rows == 0
+
+
+def test_single_turn_conversations():
+    table = synth_transcripts(15, 2, seed=3)
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=600)
+    out = CEP(p, transcript_config(num_partitions=3)).run_table(table)
+    assert out.num_rows >= 0  # no crash; pairs only where both roles exist
+
+
+def test_null_tool_column_roundtrip():
+    table = synth_transcripts(10, 10, seed=4)
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("tool", "b")),
+                window=600)
+    out = CEP(p, transcript_config(num_partitions=2)).run_table(table)
+    for r in out.to_pylist():
+        assert r["match_events"][0]["tool"] is None  # user turns: null tool
+        assert r["match_events"][1]["tool"] is not None
+
+
+def test_contiguity_disables_pushdown():
+    from opencep_ray.engine import build_type_prefilters
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                GreaterThanCondition(Col("a", "turn_idx"), 1),
+                window=600,
+                consumption_policy=ConsumptionPolicy(contiguous=["a", "b"]))
+    cep = CEP(p, transcript_config())
+    assert build_type_prefilters(cep.compiled) == {}
+    # without contiguity, the same pattern produces a pushdown entry
+    p2 = Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                 GreaterThanCondition(Col("a", "turn_idx"), 1),
+                 window=600)
+    cep2 = CEP(p2, transcript_config())
+    assert "user" in build_type_prefilters(cep2.compiled)
+
+
+def test_stream_empty_and_sparse_files(ray_session, tmp_path):
+    from opencep_ray import Kleene
+    from opencep_ray.streaming import StreamingCEP, read_matches
+    t1 = synth_transcripts(8, 8, seed=5)
+    f1 = str(tmp_path / "a.parquet")
+    f2 = str(tmp_path / "b.parquet")
+    pq.write_table(t1, f1)
+    pq.write_table(t1.slice(0, 0), f2)  # empty file in the stream
+    p = Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b"), max_size=2)),
+                window=300)
+    out_dir = str(tmp_path / "out")
+    s = StreamingCEP(p, transcript_config(), num_workers=2)
+    stats = s.run_files([f1, f2], out_dir, micro_batch_rows=20)
+    got = read_matches(out_dir)
+    want = CEP(p, transcript_config(num_partitions=2)).run_table(t1)
+    assert got.num_rows == want.num_rows
+    # workers only see pattern-relevant types (pre-shuffle type filter)
+    assert 0 < stats["rows"] <= t1.num_rows
