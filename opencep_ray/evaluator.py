@@ -415,20 +415,36 @@ class CompiledPattern:
                 return node
             raise ValueError(f"unsupported structure {s!r}")
 
-        if tree_builder != "trivial" and len(pos_args) > 1:
-            from .plan import choose_order
-            stats = statistics if statistics is not None \
-                else getattr(pattern, "statistics", None)
-            order = choose_order(len(pos_args), stats, tree_builder)
-            pos_args = [pos_args[i] for i in order]
+        stats = statistics if statistics is not None \
+            else getattr(pattern, "statistics", None)
+        if tree_builder == "bushy" and len(pos_args) > 2:
+            from .plan import choose_shape
+            shape = choose_shape(len(pos_args), stats)
 
-        root = build(pos_args[0])
-        for a in pos_args[1:]:
-            ch = build(a)
-            parent = new_node(_NodeSpec.KIND_JOIN, (root, ch))
-            parent.names = root.names | ch.names
-            parent.conditions = take_conditions(parent.names, False)
-            root = parent
+            def build_shape(sh) -> _NodeSpec:
+                if isinstance(sh, int):
+                    return build(pos_args[sh])
+                left = build_shape(sh[0])
+                right = build_shape(sh[1])
+                parent = new_node(_NodeSpec.KIND_JOIN, (left, right))
+                parent.names = left.names | right.names
+                parent.conditions = take_conditions(parent.names, False)
+                return parent
+
+            root = build_shape(shape)
+        else:
+            if tree_builder not in ("trivial", "bushy") \
+                    and len(pos_args) > 1:
+                from .plan import choose_order
+                order = choose_order(len(pos_args), stats, tree_builder)
+                pos_args = [pos_args[i] for i in order]
+            root = build(pos_args[0])
+            for a in pos_args[1:]:
+                ch = build(a)
+                parent = new_node(_NodeSpec.KIND_JOIN, (root, ch))
+                parent.names = root.names | ch.names
+                parent.conditions = take_conditions(parent.names, False)
+                root = parent
 
         # negation nodes stacked on top: bounded first, then unbounded
         # (naive negation algorithm, plan/negation/NaiveNegationAlgorithm.py)

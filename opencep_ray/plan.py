@@ -117,6 +117,72 @@ _BUILDERS = {
     DYNAMIC_PROGRAMMING: order_dynamic_programming,
 }
 
+BUSHY = "bushy"
+
+
+def bushy_shape(n: int, rates: Sequence[float],
+                sel: Sequence[Sequence[float]]):
+    """Min-cost BUSHY join shape by DP over all disjoint splits — the
+    reference's DynamicProgrammingBushyTreeBuilder
+    (plan/BushyTreeBuilders.py:16-65).  Returns a nested tuple of arg
+    indices, e.g. ``((0, 1), (2, 3))``; results are plan-invariant, only
+    the number of intermediate partial matches changes."""
+    if n == 1:
+        return 0
+
+    def card(subset: frozenset) -> float:
+        c = 1.0
+        items = sorted(subset)
+        for i in items:
+            c *= rates[i] * sel[i][i]
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                i, j = items[x], items[y]
+                c *= sel[i][j] * sel[j][i]
+        return c
+
+    best: Dict[frozenset, tuple] = {}
+    for i in range(n):
+        s = frozenset([i])
+        best[s] = (card(s), i)
+    for size in range(2, n + 1):
+        for subset in combinations(range(n), size):
+            s = frozenset(subset)
+            choice = None
+            seen_splits = set()
+            items = sorted(s)
+            first = items[0]
+            for r in range(1, size):
+                for left_rest in combinations(items[1:], r - 1):
+                    left = frozenset((first,) + left_rest)
+                    right = s - left
+                    key = (left, right)
+                    if key in seen_splits:
+                        continue
+                    seen_splits.add(key)
+                    total = best[left][0] + best[right][0] + card(s)
+                    if choice is None or total < choice[0]:
+                        choice = (total, (best[left][1], best[right][1]))
+            best[s] = choice
+    return best[frozenset(range(n))][1]
+
+
+def choose_shape(n_args: int, statistics: Optional[dict]):
+    """Bushy shape from statistics; falls back to a left-deep chain in
+    declaration order when statistics are unavailable."""
+    if not statistics:
+        shape = 0
+        for i in range(1, n_args):
+            shape = (shape, i)
+        return shape
+    rates = statistics.get("arrival_rates")
+    sel = statistics.get("selectivity_matrix")
+    if rates is None or len(rates) < n_args:
+        return choose_shape(n_args, None)
+    if sel is None:
+        sel = [[1.0] * n_args for _ in range(n_args)]
+    return bushy_shape(n_args, rates, sel)
+
 
 def choose_order(n_args: int, statistics: Optional[dict],
                  builder: str = TRIVIAL) -> List[int]:

@@ -165,7 +165,7 @@ def test_plan_builders_do_not_change_results():
     stats = {"arrival_rates": [100.0, 200.0, 5.0]}
     results = {}
     for builder in ("trivial", "sort_by_frequency", "greedy",
-                    "dynamic_programming"):
+                    "dynamic_programming", "bushy"):
         compiled = compile_patterns(p, statistics=stats,
                                     tree_builder=builder)
         out = []
@@ -222,3 +222,15 @@ def test_load_shedding_valve(ray_session, tmp_path):
     assert metrics["total_shed_partials"] > 0
     full_metrics = json.load(open(os.path.join(full_dir, "metrics.json")))
     assert full_metrics["total_shed_partials"] == 0
+
+
+def test_bushy_shape_prefers_cheap_pairs():
+    from opencep_ray.plan import bushy_shape
+    # args 0,1 are hugely selective together; 2,3 likewise -> balanced tree
+    sel = [[1.0] * 4 for _ in range(4)]
+    sel[0][1] = sel[1][0] = 0.001
+    sel[2][3] = sel[3][2] = 0.001
+    shape = bushy_shape(4, [100.0, 100.0, 100.0, 100.0], sel)
+    flat = repr(shape)
+    assert ("(0, 1)" in flat or "(1, 0)" in flat)
+    assert ("(2, 3)" in flat or "(3, 2)" in flat)
