@@ -561,6 +561,57 @@ def multimodal_decode(sf_dir):
     return decode_features(ds)
 
 
+def curate_documents(sf_dir):
+    """Composed training-data curation pipeline: exact dedup (keep min id
+    per content) → quality filter (score ≥ 0.4) → language + fingerprint
+    annotation.  One streaming pass after the dedup semi-join: the kept-id
+    set is broadcast (ray.put) and probed per batch — no second shuffle."""
+    import ray
+    import pyarrow.compute as pc
+    from ..stages.dedup import exact_dedup_ids
+    from ..stages.text import Fingerprint, LangId, QualityScore
+
+    docs = _documents(sf_dir)
+    keep_ids = exact_dedup_ids(docs).to_pandas()["doc_id"]
+    keep_ref = ray.put(set(int(i) for i in keep_ids))
+
+    class _KeepFilter:
+        def __init__(self):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, batch):
+            import pyarrow as pa_
+            mask = [int(i) in self.keep
+                    for i in batch["doc_id"].to_pylist()]
+            return batch.filter(pa_.array(mask))
+
+    out = (docs.map_batches(_KeepFilter, batch_format="pyarrow",
+                            concurrency=2)
+           .map_batches(QualityScore(), batch_format="pyarrow")
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t["quality_score"], 0.4)),
+               batch_format="pyarrow")
+           .map_batches(LangId(), batch_format="pyarrow", concurrency=2)
+           .map_batches(Fingerprint(), batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "quality_score"])
+
+
+CURATE_DOCUMENTS_SQL = """
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+scored AS (
+  SELECT d.doc_id,
+    0.5 * (len(list_filter(string_split(lower(d.text), ' '),
+           x -> x IN ('the','a','of','to','and','in','is','it','on','for')))
+           ::DOUBLE / len(string_split(d.text, ' ')))
+    + 0.3 * (1 - length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE
+                 / length(d.text))
+    + 0.2 * least(len(string_split(d.text, ' '))::DOUBLE / 100.0, 1.0)
+      AS quality_score
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+SELECT doc_id, quality_score FROM scored WHERE quality_score >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational
 
@@ -637,6 +688,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "curate_documents": curate_documents,
     "text_stats": text_stats_q,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -665,6 +717,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram": DEDUP_NGRAM_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "curate_documents": CURATE_DOCUMENTS_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "ann_topk": ANN_TOPK_SQL,
