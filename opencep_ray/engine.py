@@ -283,17 +283,26 @@ class _Prep:
             if hot_mask.any():
                 s1 = ts_np // L
                 slice_arr[hot_mask] = s1[hot_mask]
-                # overlap: rows within one window after a slice start also
-                # belong to the previous slice
+                # overlap BOTH ways: a slice must see one full window on
+                # each side of its boundaries — backward copies let a match
+                # started near a boundary complete in the earlier owner
+                # slice; forward copies let leading/unbounded NEGATIVES
+                # (which look backward from a match's first_ts,
+                # tree/nodes/NegationNode.py:246-250) reach the later slice
                 s2 = (ts_np - self.max_window_us) // L
-                dup_idx = np.flatnonzero(hot_mask & (s2 != s1))
-                if len(dup_idx):
-                    dup = batch.take(pa.array(dup_idx))
-                    dup = dup.append_column(
-                        "_slice", pa.array(s2[dup_idx], pa.int64()))
+                s3 = (ts_np + self.max_window_us) // L
+                extra = []
+                for s_alt in (s2, s3):
+                    dup_idx = np.flatnonzero(hot_mask & (s_alt != s1))
+                    if len(dup_idx):
+                        dup = batch.take(pa.array(dup_idx))
+                        dup = dup.append_column(
+                            "_slice", pa.array(s_alt[dup_idx], pa.int64()))
+                        extra.append(dup)
+                if extra:
                     batch = batch.append_column(
                         "_slice", pa.array(slice_arr, pa.int64()))
-                    batch = pa.concat_tables([batch, dup])
+                    batch = pa.concat_tables([batch] + extra)
                     return self._with_part(batch)
         batch = batch.append_column("_slice", pa.array(slice_arr, pa.int64()))
         return self._with_part(batch)
@@ -385,7 +394,6 @@ class _PartitionCEP:
         rows = []
         n = group.num_rows
         emit_row = self.emitter.row
-        cp_by_id = {cp.pattern_id: cp for cp in self.compiled}
         L = self.slice_len_us
         i = 0
         while i < n:
@@ -400,10 +408,10 @@ class _PartitionCEP:
                            probs[j] if probs else None)
                 j += 1
             ev.eos()
-            for pid, pm in ev.matches:
+            for cp, pm in ev.matches:
                 if cur_slice >= 0 and pm.first_ts // L != cur_slice:
                     continue  # another slice owns this match (RIP dedup)
-                rows.append(emit_row(pid, key, pm, cp_by_id[pid], ev))
+                rows.append(emit_row(cp.pattern_id, key, pm, cp, ev))
             i = j
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
 

@@ -328,16 +328,27 @@ class CompiledPattern:
         # pattern never references (base/Event.py:13-27) — a deliberate
         # divergence documented in COVERAGE.md.
         self.has_contiguity = bool(cp is not None and cp.contiguous_names)
+        bound_names = {lf.name for lf in self.leaves}
         if cp is not None and cp.contiguous_names:
             seqs = cp.contiguous_names
             if seqs and isinstance(seqs[0], str):
                 seqs = [seqs]
             for names_seq in seqs:
                 for a, b in zip(names_seq, names_seq[1:]):
+                    # an OR-split disjunct may lack some names — adjacency
+                    # pairs only apply where both names exist
+                    if a not in bound_names or b not in bound_names:
+                        continue
                     conjuncts.append(SimpleCondition(
                         Variable(a, _IndexGetter()),
                         Variable(b, _IndexGetter()),
                         relation_op=_is_adjacent))
+        for c in conjuncts:
+            unknown = c.names() - bound_names
+            if unknown:
+                raise ValueError(
+                    f"condition references unknown event names {unknown}; "
+                    f"pattern binds {sorted(bound_names)}")
 
         # tag each conjunct for runtime selectivity instrumentation
         # (reference: condition/Condition.py:119-125 reports every atomic
@@ -550,11 +561,6 @@ class CompiledPattern:
         # merge interleave, precedence comparisons, duplicate-check need,
         # and condition-binding slots compile to static index plans
         self._compile_node_programs()
-        root_keys = self._subtree_keys(self.root)
-        slot_of = self.entry_slot
-        self.emit_order = tuple(sorted(range(len(root_keys)),
-                                       key=lambda i: (slot_of[root_keys[i]],
-                                                      root_keys[i])))
 
     def structure_summary(self):
         """Nested-tuple summary of the compiled evaluation tree — the
@@ -848,16 +854,23 @@ class ConversationEvaluator:
             self._flush_pending(tree, None)
 
     # -- load shedding ------------------------------------------------------
-    def _iter_buffers(self):
+    def _iter_buffers(self, sheddable_only: bool = False):
         for tree in self._trees:
             for node in tree["nodes"]:
-                if node.buffers:
-                    for buf in node.buffers:
-                        yield buf
+                if not node.buffers:
+                    continue
+                for side, buf in enumerate(node.buffers):
+                    if sheddable_only and side == 1 \
+                            and node.spec.kind == _NodeSpec.KIND_NEG:
+                        # dropping buffered NEGATIVES would fabricate
+                        # matches (precision loss); shedding is a recall
+                        # tradeoff only
+                        continue
+                    yield buf
 
     def _live_pm_count(self) -> int:
         total = 0
-        for buf in self._iter_buffers():
+        for buf in self._iter_buffers(sheddable_only=True):
             if isinstance(buf, dict):
                 for lst in buf["d"].values():
                     total += len(lst)
@@ -884,7 +897,7 @@ class ConversationEvaluator:
         if total <= cfg.max_partial_matches:
             return
         scored = []
-        for buf in self._iter_buffers():
+        for buf in self._iter_buffers(sheddable_only=True):
             if isinstance(buf, dict):
                 for lst in buf["d"].values():
                     scored.extend((self._utility(p), id(p)) for p in lst)
@@ -893,7 +906,7 @@ class ConversationEvaluator:
         scored.sort(key=lambda t: t[0])
         n_drop = total - cfg.target
         drop = {pid for _, pid in scored[:n_drop]}
-        for buf in self._iter_buffers():
+        for buf in self._iter_buffers(sheddable_only=True):
             if isinstance(buf, dict):
                 d = buf["d"]
                 new_min = None
@@ -1228,7 +1241,10 @@ class ConversationEvaluator:
             matched = {e.idx for _, e in pm.entries}
             tree["freezers"][:] = [f for f in tree["freezers"]
                                    if f.idx not in matched]
-        self.matches.append((cp.pattern_id, pm))
+        # store the compiled pattern itself: OR-split disjuncts share the
+        # source pattern_id, so an id-keyed lookup would resolve to the
+        # wrong disjunct's entry layout
+        self.matches.append((cp, pm))
 
     # -- output helpers ------------------------------------------------------
     def binding_of(self, pattern_index: int, pm: PM) -> Dict[str, object]:

@@ -40,16 +40,28 @@ def normalize_stocks(batch: pa.Table) -> pa.Table:
 
 
 def read_stocks_csv(paths, has_probability: bool = False):
-    """Reads Metastock-7 CSV (no header) into a normalized event Dataset."""
+    """Reads Metastock-7 CSV (no header) into a normalized event Dataset.
+
+    Each FILE is parsed as one unit (``read_binary_files`` + per-file
+    parse) so the ``arrival`` tie-break column reflects true file order —
+    a plain ``read_csv`` + ``map_batches`` would restart the index at
+    every Ray batch boundary."""
+    import io
     import ray.data as rd
-    from ray.data.datasource import CSVDatasource  # noqa: F401  (docs)
     from pyarrow import csv as pacsv
     names = STOCK_COLUMN_NAMES + (["probability"] if has_probability else [])
-    ds = rd.read_csv(
-        paths,
-        read_options=pacsv.ReadOptions(column_names=names),
-    )
-    return ds.map_batches(normalize_stocks, batch_format="pyarrow")
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for blob in batch["bytes"].to_pylist():
+            t = pacsv.read_csv(
+                io.BytesIO(blob),
+                read_options=pacsv.ReadOptions(column_names=names))
+            tables.append(normalize_stocks(t))
+        return pa.concat_tables(tables)
+
+    ds = rd.read_binary_files(paths)
+    return ds.map_batches(parse_file, batch_format="pyarrow", batch_size=1)
 
 
 def stocks_table(lines: Sequence[str],

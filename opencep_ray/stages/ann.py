@@ -45,11 +45,11 @@ class _BatchTopK:
         mat = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
         sims = self.q_unit @ _unit_rows(mat).T        # (Q, B)
         k = min(self.k, sims.shape[1])
-        # argpartition then exact sort of the short list
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[0]):
-            cols = part[qi]
+            # deterministic local top-k incl. id tie-break at the boundary
+            # (matches the documented sim-desc, id-asc global order)
+            cols = np.lexsort((ids, -sims[qi]))[:k]
             for c in cols:
                 out_q.append(self.q_ids[qi])
                 out_id.append(int(ids[c]))

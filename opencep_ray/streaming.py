@@ -68,7 +68,6 @@ class _WorkerCore:
         # instrumentation (condition/Condition.py:119-125 analog); only
         # collected when adaptivity is on
         self.cond_stats: Dict[tuple, list] = {} if retain_events else None
-        self.cp_by_id = {cp.pattern_id: cp for cp in compiled}
         self.has_unbounded = any(cp.has_unbounded_negation
                                  for cp in compiled)
 
@@ -143,10 +142,10 @@ class _WorkerCore:
             return
         emit_row = self.emitter.row
         L = self.slice_len_us
-        for pid, pm in ev.matches:
+        for cp, pm in ev.matches:
             if cur_slice >= 0 and pm.first_ts // L != cur_slice:
                 continue  # another slice owns this match (RIP dedup)
-            rows.append(emit_row(pid, key, pm, self.cp_by_id[pid], ev))
+            rows.append(emit_row(cp.pattern_id, key, pm, cp, ev))
         ev.matches.clear()
 
     def advance_watermark(self, wm_us: int) -> pa.Table:
@@ -179,7 +178,6 @@ class _WorkerCore:
         replaying its retained in-window history (results are unaffected —
         join order never changes match sets — only evaluation cost)."""
         self.compiled = new_compiled
-        self.cp_by_id = {cp.pattern_id: cp for cp in new_compiled}
         self.evaluators = {k: ev.rebuilt_with(new_compiled, self.cond_stats)
                            for k, ev in self.evaluators.items()}
 
@@ -207,7 +205,6 @@ class _WorkerCore:
                 ev.cond_stats = self.cond_stats
         if state.get("compiled") is not None:
             self.compiled = state["compiled"]
-            self.cp_by_id = {cp.pattern_id: cp for cp in self.compiled}
 
 
 @ray.remote
@@ -479,6 +476,12 @@ class StreamingCEP:
                 manifest = json.load(f)
             ck = manifest.get("checkpoint")
             if ck is not None:
+                if len(ck["files"]) != self.num_workers:
+                    raise ValueError(
+                        f"checkpoint was written by {len(ck['files'])} "
+                        f"workers but this run has {self.num_workers}; "
+                        "hash routing is worker-count dependent — resume "
+                        "with the same num_workers")
                 blobs = [open(p, "rb").read() for p in ck["files"]]
                 ray.get([w.restore.remote(b)
                          for w, b in zip(workers, blobs)])

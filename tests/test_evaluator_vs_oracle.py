@@ -45,10 +45,9 @@ def run_evaluator(pattern, events, probs=None):
                    probs[i] if probs else None)
     ev.eos()
     out = []
-    for pid, pm in ev.matches:
-        cp = next(c for c in compiled if c.pattern_id == pid)
+    for cp, pm in ev.matches:
         key = _canonical(cp, pm)
-        out.append((pid, key, None if pm.prob is None
+        out.append((cp.pattern_id, key, None if pm.prob is None
                     else round(pm.prob, 9)))
     return sorted(out, key=repr)
 
@@ -267,9 +266,8 @@ def test_multi_pattern_union():
     for payload, typ, ts in events:
         ev.process(dict(payload), typ, ts)
     ev.eos()
-    got = sorted(((pid, _canonical(next(c for c in compiled
-                                        if c.pattern_id == pid), pm))
-                  for pid, pm in ev.matches), key=repr)
+    got = sorted(((cp.pattern_id, _canonical(cp, pm))
+                  for cp, pm in ev.matches), key=repr)
     want = sorted([(pid, key) for key, pid, _, _ in
                    oracle_matches(p1, events)] +
                   [(pid, key) for key, pid, _, _ in

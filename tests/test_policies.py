@@ -14,7 +14,7 @@ def run(pattern, events):
         ev.process({"i": i}, typ, ts * SEC)
     ev.eos()
     out = []
-    for pid, pm in ev.matches:
+    for _cp, pm in ev.matches:
         out.append(tuple(e.payload["i"]
                          for e in ConversationEvaluator.primitive_events(pm)))
     return out

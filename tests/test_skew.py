@@ -25,6 +25,14 @@ PATTERNS = [
     Pattern(Seq(Primitive("user", "a"),
                 Kleene(Primitive("assistant", "b"), max_size=2)),
             window=60, pattern_id=3),
+    # leading negation looks BACKWARD from the match start — exercises the
+    # forward slice overlap; trailing negation is unbounded (pending+flush)
+    Pattern(Seq(Neg(Primitive("tool", "x")), Primitive("user", "a"),
+                Primitive("assistant", "b")),
+            window=90, pattern_id=4),
+    Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                Neg(Primitive("tool", "x"))),
+            window=90, pattern_id=5),
 ]
 
 

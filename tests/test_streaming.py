@@ -179,7 +179,7 @@ def test_plan_builders_do_not_change_results():
                 ev.process(dict(r), r["role"],
                            int(r["ts"].timestamp() * 1e6))
             ev.eos()
-            for pid, pm in ev.matches:
+            for _cp, pm in ev.matches:
                 out.append((conv, tuple(
                     e.payload["turn_idx"]
                     for e in ConversationEvaluator.primitive_events(
