@@ -346,6 +346,37 @@ class _Prep:
         return batch.append_column("_part", pa.array(part))
 
 
+def extract_sorted_columns(shard: pa.Table, cfg: EngineConfig):
+    """Shared shard preparation for both engines: stable sort by
+    (key, slice, ts, order), then plain-Python column extraction for the
+    evaluation loop.  Returns (keys, slices, types, ts_us, probs,
+    col_items) — ``col_items`` are (name, values) pairs forming event
+    payloads, with the ts column already in µs ints."""
+    sort_keys = [(cfg.key_col, "ascending")]
+    if "_slice" in shard.column_names:
+        sort_keys.append(("_slice", "ascending"))
+    sort_keys.append(("_ts_us", "ascending"))
+    for c in cfg.order_cols:
+        if c in shard.column_names:
+            sort_keys.append((c, "ascending"))
+    shard = shard.take(pc.sort_indices(shard, sort_keys=sort_keys))
+
+    keys = shard[cfg.key_col].to_pylist()
+    slices = shard["_slice"].to_numpy().tolist() \
+        if "_slice" in shard.column_names else None
+    types = shard["_type"].to_pylist()
+    ts_us = shard["_ts_us"].to_pylist()
+    probs = shard[cfg.prob_col].to_pylist() if cfg.prob_col else None
+    payload_names = [c for c in shard.column_names
+                     if c not in ("_type", "_ts_us", "_part", "_slice")]
+    if cfg.payload_cols is not None:
+        payload_names = [c for c in payload_names
+                         if c in cfg.payload_cols or c == cfg.key_col]
+    col_items = [(c, ts_us if c == cfg.ts_col else shard[c].to_pylist())
+                 for c in payload_names]
+    return keys, slices, types, ts_us, probs, col_items
+
+
 class _PartitionCEP:
     """Per-partition stateful evaluation: sort by (key, ts, order), run a
     fresh ConversationEvaluator per key, emit matches."""
@@ -362,34 +393,8 @@ class _PartitionCEP:
         cfg = self.cfg
         if group.num_rows == 0:
             return pa.Table.from_pylist([], schema=self.emitter.schema())
-        sort_keys = [(cfg.key_col, "ascending")]
-        if "_slice" in group.column_names:
-            sort_keys.append(("_slice", "ascending"))
-        sort_keys.append(("_ts_us", "ascending"))
-        for c in cfg.order_cols:
-            if c in group.column_names:
-                sort_keys.append((c, "ascending"))
-        idx = pc.sort_indices(group, sort_keys=sort_keys)
-        group = group.take(idx)
-
-        keys = group[cfg.key_col].to_pylist()
-        slices = group["_slice"].to_numpy().tolist() \
-            if "_slice" in group.column_names else None
-        types = group["_type"].to_pylist()
-        ts_us = group["_ts_us"].to_pylist()
-        probs = group[cfg.prob_col].to_pylist() if cfg.prob_col else None
-        payload_names = [c for c in group.column_names
-                         if c not in ("_type", "_ts_us", "_part", "_slice")]
-        if cfg.payload_cols is not None:
-            payload_names = [c for c in payload_names
-                             if c in cfg.payload_cols or c == cfg.key_col]
-        cols = {}
-        for c in payload_names:
-            if c == cfg.ts_col:
-                cols[c] = ts_us  # µs ints inside the evaluator
-            else:
-                cols[c] = group[c].to_pylist()
-        col_items = list(cols.items())
+        keys, slices, types, ts_us, probs, col_items = \
+            extract_sorted_columns(group, cfg)
 
         rows = []
         n = group.num_rows

@@ -76,31 +76,9 @@ class _WorkerCore:
         """Evaluates one routed shard, returning the matches table."""
         import time as _t
         _t0 = _t.perf_counter()
-        cfg = self.cfg
-        sort_keys = [(cfg.key_col, "ascending")]
-        if "_slice" in shard.column_names:
-            sort_keys.append(("_slice", "ascending"))
-        sort_keys.append(("_ts_us", "ascending"))
-        for c in cfg.order_cols:
-            if c in shard.column_names:
-                sort_keys.append((c, "ascending"))
-        shard = shard.take(pc.sort_indices(shard, sort_keys=sort_keys))
-
-        keys = shard[cfg.key_col].to_pylist()
-        slices = shard["_slice"].to_numpy().tolist() \
-            if "_slice" in shard.column_names else None
-        types = shard["_type"].to_pylist()
-        ts_us = shard["_ts_us"].to_pylist()
-        probs = shard[cfg.prob_col].to_pylist() if cfg.prob_col else None
-        payload_names = [c for c in shard.column_names
-                         if c not in ("_type", "_ts_us", "_part", "_slice")]
-        if cfg.payload_cols is not None:
-            payload_names = [c for c in payload_names
-                             if c in cfg.payload_cols or c == cfg.key_col]
-        cols = {}
-        for c in payload_names:
-            cols[c] = ts_us if c == cfg.ts_col else shard[c].to_pylist()
-        col_items = list(cols.items())
+        from .engine import extract_sorted_columns
+        keys, slices, types, ts_us, probs, col_items = \
+            extract_sorted_columns(shard, self.cfg)
 
         # arrival-rate statistics (ArrivalRatesStatistics analog,
         # adaptive/statistics/Statistics.py:43-100)

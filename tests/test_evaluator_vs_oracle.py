@@ -356,3 +356,28 @@ def test_equality_probe_three_events(seed):
                              EqCondition(Col("b", "v"), Col("c", "v"))),
                 window=25)
     check(p, gen_stream(seed + 2600, n=22, val_range=4))
+
+
+def test_or_disjuncts_with_different_shapes():
+    """OR disjuncts share a pattern_id but have different entry layouts —
+    emission must use each match's own compiled disjunct."""
+    p = Pattern(Or(Seq(Primitive("user", "a"),
+                       Kleene(Primitive("assistant", "k"), max_size=2),
+                       Primitive("tool", "c")),
+                   Seq(Primitive("tool", "x"), Primitive("user", "y"))),
+                window=15, pattern_id=7)
+    events = gen_stream(42, n=20)
+    compiled = compile_patterns(p)
+    assert len(compiled) == 2
+    assert all(c.pattern_id == 7 for c in compiled)
+    ev = ConversationEvaluator(compiled)
+    for payload, typ, ts in events:
+        ev.process(dict(payload), typ, ts)
+    ev.eos()
+    shapes = set()
+    for cp, pm in ev.matches:
+        # primitive_events with the match's own cp must not raise
+        evs = ConversationEvaluator.primitive_events(pm, cp)
+        shapes.add(len(pm.entries))
+        assert cp.pattern_id == 7
+    assert len(ev.matches) > 0
