@@ -318,8 +318,13 @@ class KCIndexCondition(KCCondition):
         items = self._payload_list(binding)
         n = len(items)
         if self.offset is not None:
-            # every pair (i, i+offset); vacuously true when out of range
             off = self.offset
+            # the reference returns False outright when the offset does not
+            # fit in the item list (condition/KCCondition.py __eval_by_offset
+            # "offset too large restriction"); pairs beyond range are then
+            # vacuously true
+            if off >= n:
+                return False
             if off >= 0:
                 rng = range(0, n - off)
             else:

@@ -844,9 +844,17 @@ class ConversationEvaluator:
 
     def advance_watermark(self, ts_us: int):
         """Flush pending unbounded-negation matches whose window has fully
-        passed (watermark analog of tree/nodes/NegationNode.py:70-87)."""
+        passed (watermark analog of tree/nodes/NegationNode.py:70-87), then
+        expire unbounded negative buffers (their only expiry point — see
+        the accounting note at ``_neg_on_positive``; −2·W keeps every
+        negative still compatible with some pending positive)."""
         for tree in self._trees:
             self._flush_pending(tree, ts_us)
+            thr = ts_us - 2 * tree["cp"].window_us
+            for node in tree["nodes"]:
+                if node.spec.kind == _NodeSpec.KIND_NEG \
+                        and node.spec.is_unbounded:
+                    _expire(node.buffers[1], thr)
 
     def eos(self):
         """End of stream: flush all pending matches (tree/Tree.py:224-238)."""
@@ -949,17 +957,23 @@ class ConversationEvaluator:
         for streaming state eviction (SURVEY.md §4 'memory pressure')."""
         for tree in self._trees:
             threshold = watermark_us - tree["cp"].window_us
+            # unbounded negative buffers live to −2·W (see advance_watermark)
+            neg_threshold = watermark_us - 2 * tree["cp"].window_us
             for node in tree["nodes"]:
                 if node.pending:
                     return False
+                unbounded_neg = node.spec.kind == _NodeSpec.KIND_NEG \
+                    and node.spec.is_unbounded
                 if node.buffers:
-                    for buf in node.buffers:
+                    for side, buf in enumerate(node.buffers):
+                        thr = neg_threshold if unbounded_neg and side == 1 \
+                            else threshold
                         if isinstance(buf, dict):
-                            _hb_expire(buf, threshold)
+                            _hb_expire(buf, thr)
                             if buf["d"]:
                                 return False
                         else:
-                            _expire(buf, threshold)
+                            _expire(buf, thr)
                             if buf:
                                 return False
         return not self.matches
@@ -1082,10 +1096,32 @@ class ConversationEvaluator:
         return self._agg_counter
 
     # -- negation -----------------------------------------------------------
+    #
+    # Uncertain-negative accounting (tree/nodes/NegationNode.py:96-122,
+    # applied exactly once per (pending positive, negative) pair):
+    #
+    # * FIRST unbounded node: negatives arriving before a positive are
+    #   applied by the inline check below at the positive's arrival;
+    #   negatives arriving later are applied retroactively in
+    #   ``_neg_on_negative``.  Flush emits past this node's own check
+    #   (``_flush_pending`` targets the parent), so nothing re-applies.
+    # * HIGHER unbounded nodes: the pending positive only traverses the
+    #   node at flush time, where the inline check applies every buffered
+    #   window-compatible negative once.  ``_neg_on_negative`` therefore
+    #   must NOT scale pending probabilities for these nodes (it used to —
+    #   double-scaling); it still removes pendings invalidated by CERTAIN
+    #   negatives early (safe: the flush-time check would drop them too).
+    #
+    # For this to be exact, unbounded nodes may not destructively expire
+    # their negative buffers on event arrival (flush thresholds are not
+    # monotone across pendings); they expire on watermark advance instead
+    # (``advance_watermark``, threshold = watermark − 2·W, covering the
+    # NegativeAnd case where the negative precedes the positive).
     def _neg_on_positive(self, tree, node: _RTNode, pm: PM):
         cp = tree["cp"]
         neg_buf = node.buffers[1]
-        _expire(neg_buf, pm.last_ts - cp.window_us)
+        if not node.spec.is_unbounded:
+            _expire(neg_buf, pm.last_ts - cp.window_us)
         prob = pm.prob
         spec = node.spec
         merge = spec.merge_fn
@@ -1108,25 +1144,31 @@ class ConversationEvaluator:
 
     def _neg_on_negative(self, tree, node: _RTNode, pm: PM):
         cp = tree["cp"]
-        _expire(node.buffers[1], pm.last_ts - cp.window_us)
-        node.buffers[1].append(pm)
         if not node.spec.is_unbounded:
-            return  # bounded: nothing to do (tree/nodes/NegationNode.py:145-147)
+            # bounded: buffer (with eager expiry); nothing else to do
+            # (tree/nodes/NegationNode.py:145-147)
+            _expire(node.buffers[1], pm.last_ts - cp.window_us)
+            node.buffers[1].append(pm)
+            return
+        node.buffers[1].append(pm)
         first = tree["first_unbounded"]
         if first is None or first.pending is None:
             return
         keep = []
         spec = node.spec
+        is_first = spec.is_first_unbounded
         merge = spec.merge_fn
         for ppm in first.pending:
             merged = merge(ppm.entries, pm.entries)
             invalid = False
             if self._validate(cp, spec, merged,
                               _joint_prob(ppm.prob, pm.prob)) is not None:
-                if pm.prob is not None:
-                    ppm.prob = _joint_prob(ppm.prob, 1.0 - pm.prob)
-                else:
+                if pm.prob is None:
                     invalid = True
+                elif is_first:
+                    # see the accounting note above: higher unbounded
+                    # nodes apply uncertain scaling at flush time only
+                    ppm.prob = _joint_prob(ppm.prob, 1.0 - pm.prob)
             if not invalid:
                 keep.append(ppm)
         first.pending[:] = keep

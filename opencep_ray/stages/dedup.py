@@ -30,7 +30,11 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-_MERSENNE = (1 << 61) - 1
+# Universal-hash modulus for MinHash permutations.  2^31−1 (a Mersenne
+# prime) with 30-bit shingle hashes keeps every product a·h < 2^61 inside
+# int64 — a 2^61−1 modulus would overflow int64 in the a·h multiply and
+# silently stop being a universal family (skewing signature uniformity).
+_MERSENNE31 = (1 << 31) - 1
 
 
 class _ContentHash:
@@ -75,8 +79,8 @@ class MinHashSignatures:
     def __init__(self, col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, shingle_k: int = 3, seed: int = 13):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        self.a = rng.randint(1, _MERSENNE31, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE31, size=num_perm, dtype=np.int64)
         self.col = col
         self.id_col = id_col
         self.num_perm = num_perm
@@ -90,9 +94,10 @@ class MinHashSignatures:
         else:
             grams = [" ".join(toks[i:i + k])
                      for i in range(len(toks) - k + 1)]
+        # 30-bit shingle hashes: a·h fits int64 under the 2^31−1 modulus
         out = np.fromiter(
             (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                            .digest(), "little") >> 3 for g in set(grams)),
+                            .digest(), "little") >> 34 for g in set(grams)),
             dtype=np.int64)
         return out
 
@@ -100,8 +105,9 @@ class MinHashSignatures:
         h = self.shingle_hashes(text)
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) permuted hashes → row-wise min
-        m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        # (num_perm, n_shingles) permuted hashes → row-wise min; every
+        # intermediate stays < 2^61, no int64 wraparound
+        m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
         return m.min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -481,7 +481,6 @@ class StreamingCEP:
         # drain time, strictly in batch order.
         in_flight: List[tuple] = []  # (batch_id, refs, wm_refs, snap_refs)
         last_ck_scheduled = start_after
-        last_replan = start_after
         n_batches = 0
 
         def drain_one():
@@ -520,10 +519,15 @@ class StreamingCEP:
                 wm_refs = [w.advance_watermark.remote(max_ts_ref, batch_id)
                            for w in workers]
             if self.adaptive and \
-                    (batch_id - last_replan) >= self.replan_every:
+                    (batch_id + 1) % self.replan_every == 0:
                 # deterministic replan point: counts reflect exactly the
                 # batches up to batch_id (actor-queue ordering), and the
-                # new plan is enqueued before batch_id+1's work
+                # new plan is enqueued before batch_id+1's work.  The
+                # schedule is a pure function of the ABSOLUTE batch id, so
+                # a resumed run replays the identical replan points (a
+                # checkpoint-relative schedule would replan at different
+                # batches and reorder re-written part files, breaking the
+                # byte-identical-resume guarantee)
                 totals: Dict[str, int] = {}
                 cond_totals: Dict[tuple, list] = {}
                 for st in ray.get([w.statistics.remote() for w in workers]):
@@ -536,7 +540,6 @@ class StreamingCEP:
                 new_compiled = self._recompile_with_counts(totals,
                                                            cond_totals)
                 ray.get([w.replan.remote(new_compiled) for w in workers])
-                last_replan = batch_id
             snap_refs = None
             if (batch_id - last_ck_scheduled) >= self.checkpoint_every:
                 snap_refs = [w.snapshot.remote() for w in workers]

@@ -381,3 +381,127 @@ def test_or_disjuncts_with_different_shapes():
         shapes.add(len(pm.entries))
         assert cp.pattern_id == 7
     assert len(ev.matches) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-2 regressions: KC offset bounds + double-unbounded-negation
+# probability accounting (ADVICE.md round 1)
+
+
+def test_kc_offset_too_large_is_false():
+    """Reference rule (condition/KCCondition.py __eval_by_offset): a
+    positive offset >= len(event_list) fails the condition outright —
+    subsets smaller than the offset must NOT match vacuously."""
+    cond = KCIndexCondition({"k"}, lambda p: p["v"], lambda a, b: b > a,
+                            offset=2)
+    assert not cond.eval({"k": [{"v": 1}]})
+    assert not cond.eval({"k": [{"v": 1}, {"v": 2}]})
+    assert cond.eval({"k": [{"v": 1}, {"v": 2}, {"v": 3}]})
+    assert not cond.eval({"k": [{"v": 3}, {"v": 2}, {"v": 1}]})
+    # negative offset pairs are (items[i], items[i+off]) with off < 0
+    neg = KCIndexCondition({"k"}, lambda p: p["v"], lambda a, b: a < b,
+                           offset=-2)
+    assert neg.eval({"k": [{"v": 3}, {"v": 2}, {"v": 1}]})
+    assert not KCIndexCondition({"k"}, lambda p: p["v"],
+                                lambda a, b: a > b,
+                                offset=-2).eval(
+        {"k": [{"v": 3}, {"v": 2}, {"v": 1}]})
+
+
+def test_kc_offset_in_evaluator_excludes_small_subsets():
+    events = [({"v": i, "turn": i, "text": f"t{i}"}, "assistant", i * SEC)
+              for i in range(4)]
+    events.insert(0, ({"v": 0, "turn": -1, "text": "u"}, "user", 0))
+    p = Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "k"), max_size=3)),
+                KCIndexCondition({"k"}, lambda e: e["v"],
+                                 lambda x, y: y > x, offset=2),
+                window=100)
+    got = run_evaluator(p, events)
+    # every emitted KC subset has >= 3 items (offset 2 demands it)
+    assert got
+    for _, key, _ in got:
+        assert len(key[1]) >= 3
+
+
+def test_double_unbounded_negation_probability_exact():
+    """ADVICE repro: SEQ(A, NOT B, NOT C) with uncertain negatives of
+    prob 0.5 each must emit probability 0.25 (1−p per negative, applied
+    once each — reference NegationNode.py:114-117), not 0.125."""
+    events = [({"v": 1, "turn": 0, "text": "a"}, "user", 0),
+              ({"v": 2, "turn": 1, "text": "b"}, "assistant", 1 * SEC),
+              ({"v": 3, "turn": 2, "text": "c"}, "tool", 2 * SEC)]
+    probs = [1.0, 0.5, 0.5]
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("assistant", "x")),
+                    Neg(Primitive("tool", "y"))),
+                window=10)
+    got = run_evaluator(p, events, probs)
+    assert got == [(0, ((0,),), 0.25)]
+    assert run_oracle(p, events, probs) == got
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_double_unbounded_negation_random(seed):
+    rng = random.Random(seed + 2100)
+    events = gen_stream(seed + 2100, n=22)
+    probs = [round(rng.random(), 3) for _ in events]
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("assistant", "x")),
+                    Neg(Primitive("tool", "y"))),
+                window=10, confidence=0.05)
+    check(p, events, probs)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_unbounded_negation_and_pattern_probabilistic(seed):
+    """AND patterns make every negation unbounded (negatives may precede
+    the positives) — exercises the watermark-2W retention rule."""
+    rng = random.Random(seed + 2200)
+    events = gen_stream(seed + 2200, n=22)
+    probs = [round(rng.random(), 3) for _ in events]
+    p = Pattern(And(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=10, confidence=0.05)
+    check(p, events, probs)
+
+
+def run_evaluator_watermarked(pattern, events, probs=None, every=5):
+    """Same as run_evaluator but advancing the event-time watermark every
+    ``every`` events — exercises incremental pending flush + the
+    watermark-driven unbounded negative-buffer expiry."""
+    compiled = compile_patterns(pattern)
+    ev = ConversationEvaluator(compiled)
+    out = []
+
+    def drain():
+        for cp, pm in ev.matches:
+            out.append((cp.pattern_id, _canonical(cp, pm),
+                        None if pm.prob is None else round(pm.prob, 9)))
+        ev.matches.clear()
+
+    for i, (payload, typ, ts) in enumerate(events):
+        ev.process(dict(payload), typ, ts, probs[i] if probs else None)
+        if (i + 1) % every == 0:
+            ev.advance_watermark(ts)
+            drain()
+    ev.eos()
+    drain()
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_watermarked_double_negation_matches_oracle(seed):
+    rng = random.Random(seed + 2300)
+    events = gen_stream(seed + 2300, n=30)
+    probs = [round(rng.random(), 3) for _ in events]
+    for struct in (
+            Seq(Primitive("user", "a"), Neg(Primitive("assistant", "x")),
+                Neg(Primitive("tool", "y"))),
+            Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                Primitive("assistant", "b")),
+            And(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                Primitive("assistant", "b"))):
+        p = Pattern(struct, window=8, confidence=0.05)
+        got = run_evaluator_watermarked(p, events, probs, every=4)
+        want = run_oracle(p, events, probs)
+        assert got == want, (f"struct={struct}\nevaluator={got}\n"
+                             f"oracle={want}")
