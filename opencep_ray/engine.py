@@ -120,7 +120,8 @@ def detect_hot_keys(ds, key_col: str, threshold_rows: int = 100_000,
 
     counts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(key_col).aggregate(Sum("_n", alias_name="n")))
-    hot = counts.filter(lambda r: r["n"] >= threshold_rows) \
+    # expression filter: vectorized, never a per-row Python call
+    hot = counts.filter(expr=f"n >= {int(threshold_rows)}") \
         .sort("n", descending=True).limit(top_k).to_pandas()
     return frozenset(hot[key_col].tolist())
 
@@ -459,17 +460,18 @@ class CEP:
     def run(self, ds):
         """Dataset → Dataset of matches (lazy; one shuffle).
 
-        The pre-shuffle ``repartition`` splits blocks (no row movement) so
-        the sort emits ~``num_partitions`` blocks — otherwise the group
-        stage's parallelism is capped at the input file count."""
+        ``num_partitions`` selects Ray Data's HASH shuffle (aggregator
+        actors, pipelined with the map stage) instead of the sort-based
+        exchange — no all-to-all sort barrier, no empty boundary
+        partitions, and group parallelism independent of the input file
+        count."""
         emitter = self._emitter_for(ds.schema().base_schema)
         prep = _Prep(self.cfg, self.types_needed, self.cfg.num_partitions,
                      self.max_window_us, self._prefilters())
         evaluate = _PartitionCEP(self.compiled, self.cfg, emitter,
                                  prep.slice_len_us)
         return (ds.map_batches(prep, batch_format="pyarrow")
-                .repartition(self.cfg.num_partitions)
-                .groupby("_part")
+                .groupby("_part", num_partitions=self.cfg.num_partitions)
                 .map_groups(evaluate, batch_format="pyarrow"))
 
     def run_table(self, table: pa.Table) -> pa.Table:

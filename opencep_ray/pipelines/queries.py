@@ -40,9 +40,10 @@ def ensure_transcripts() -> str:
     return TRANSCRIPTS_PATH
 
 
-def _events(sf_dir):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/events.parquet")
+def _events(sf_dir, columns=("event_id", "ts", "user_id", "event_type",
+                              "value")):
+    from ..sources import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _events_cfg(payload=("event_id", "value", "user_id")):
@@ -237,9 +238,9 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 # CEP over the canonical transcripts table (ts ties included)
 
 
-def _transcripts_ds():
-    import ray.data as rd
-    return rd.read_parquet(ensure_transcripts())
+def _transcripts_ds(columns=None):
+    from ..sources import read_parquet_clean
+    return read_parquet_clean(ensure_transcripts(), columns=columns)
 
 
 def cep_transcripts_seq2(sf_dir):
@@ -258,7 +259,9 @@ def cep_transcripts_seq2(sf_dir):
          "b_turn": lambda b, pm: b["b"]["turn_idx"]},
         pa.schema([("conv_id", pa.string()), ("a_turn", pa.int32()),
                    ("b_turn", pa.int32())]))
-    return CEP(p, cfg, emitter).run(_transcripts_ds())
+    return CEP(p, cfg, emitter).run(
+        _transcripts_ds(columns=("conv_id", "turn_idx", "role", "text",
+                                 "ts")))
 
 
 CEP_TRANSCRIPTS_SEQ2_SQL = f"""
@@ -287,7 +290,9 @@ def cep_transcripts_negation(sf_dir):
          "b_turn": lambda b, pm: b["b"]["turn_idx"]},
         pa.schema([("conv_id", pa.string()), ("a_turn", pa.int32()),
                    ("b_turn", pa.int32())]))
-    return CEP(p, cfg, emitter).run(_transcripts_ds())
+    # no text column: the pattern never touches it (prune at the read)
+    return CEP(p, cfg, emitter).run(
+        _transcripts_ds(columns=("conv_id", "turn_idx", "role", "ts")))
 
 
 # NOTE the bounded-negation arrival rule (tree/nodes/NegationNode.py:145-147):
@@ -319,8 +324,10 @@ WHERE a.role = 'user' AND b.role = 'assistant'
 
 def window_tumbling(sf_dir):
     from ..stages.windows import windowed_agg
-    return windowed_agg(_events(sf_dir), size_s=HOUR,
-                        keys=("event_type",), value_col="value")
+    return windowed_agg(_events(sf_dir, columns=("ts", "event_type",
+                                                 "value")),
+                        size_s=HOUR, keys=("event_type",),
+                        value_col="value")
 
 
 WINDOW_TUMBLING_SQL = """
@@ -334,8 +341,8 @@ FROM events GROUP BY 1, 2
 
 def window_sliding(sf_dir):
     from ..stages.windows import windowed_agg
-    return windowed_agg(_events(sf_dir), size_s=HOUR, hop_s=900,
-                        keys=("event_type",))
+    return windowed_agg(_events(sf_dir, columns=("ts", "event_type")),
+                        size_s=HOUR, hop_s=900, keys=("event_type",))
 
 
 WINDOW_SLIDING_SQL = """
@@ -348,8 +355,8 @@ GROUP BY 1, 2
 
 def window_session(sf_dir):
     from ..stages.windows import session_windows
-    return session_windows(_events(sf_dir), gap_s=2 * HOUR,
-                           key_col="user_id")
+    return session_windows(_events(sf_dir, columns=("user_id", "ts")),
+                           gap_s=2 * HOUR, key_col="user_id")
 
 
 WINDOW_SESSION_SQL = """
@@ -372,7 +379,8 @@ FROM sess GROUP BY user_id, sid
 
 def transcripts_session(sf_dir):
     from ..stages.windows import session_windows
-    return session_windows(_transcripts_ds(), gap_s=300, key_col="conv_id")
+    return session_windows(_transcripts_ds(columns=("conv_id", "ts")),
+                           gap_s=300, key_col="conv_id")
 
 
 TRANSCRIPTS_SESSION_SQL = f"""
@@ -398,14 +406,15 @@ FROM sess GROUP BY conv_id, sid
 # Dedup / text / ANN over documents + embeddings
 
 
-def _documents(sf_dir):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+def _documents(sf_dir, columns=("doc_id", "text")):
+    from ..sources import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _embeddings(sf_dir):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _embeddings(sf_dir, columns=("vec_id", "embedding", "label")):
+    from ..sources import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=columns)
 
 
 def dedup_exact(sf_dir):
@@ -418,8 +427,9 @@ DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 def dedup_ngram(sf_dir):
     from ..stages.dedup import ngram_jaccard_blocked
-    return ngram_jaccard_blocked(_documents(sf_dir), block_col="source",
-                                 n=2, threshold=0.05)
+    return ngram_jaccard_blocked(
+        _documents(sf_dir, columns=("doc_id", "text", "source")),
+        block_col="source", n=2, threshold=0.05)
 
 
 DEDUP_NGRAM_SQL = """
@@ -523,7 +533,7 @@ def text_fingerprint(sf_dir):
 def ann_topk(sf_dir):
     from ..stages.ann import ann_brute_force
     emb = _embeddings(sf_dir)
-    q = emb.filter(lambda r: r["vec_id"] < 8).to_pandas()
+    q = emb.filter(expr="vec_id < 8").to_pandas()
     out = ann_brute_force(emb, q["vec_id"].tolist(),
                           q["embedding"].tolist(), k=5)
     return out.select_columns(["q_id", "nn_rank", "neighbor_id"])
@@ -548,7 +558,7 @@ SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
 def ann_ivf_q(sf_dir):
     from ..stages.ann import ann_ivf
     emb = _embeddings(sf_dir)
-    q = emb.filter(lambda r: r["vec_id"] < 8).to_pandas()
+    q = emb.filter(expr="vec_id < 8").to_pandas()
     out = ann_ivf(emb, q["vec_id"].tolist(), q["embedding"].tolist(), k=5,
                   n_centroids=8, nprobe=4)
     return out.select_columns(["q_id", "nn_rank", "neighbor_id"])
@@ -619,7 +629,11 @@ SELECT doc_id, quality_score FROM scored WHERE quality_score >= 0.4
 def rel_pricing(sf_dir):
     import ray.data as rd
     from .relational import pricing_summary
-    return pricing_summary(rd.read_parquet(f"{sf_dir}/lineitem.parquet"))
+    from ..sources import read_parquet_clean
+    return pricing_summary(read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=("l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate")))
 
 
 REL_PRICING_SQL = """
@@ -641,8 +655,12 @@ GROUP BY l_returnflag, l_linestatus
 def rel_segment_revenue(sf_dir):
     import ray.data as rd
     from .relational import segment_revenue
-    return segment_revenue(rd.read_parquet(f"{sf_dir}/orders.parquet"),
-                           rd.read_parquet(f"{sf_dir}/customer.parquet"))
+    from ..sources import read_parquet_clean
+    return segment_revenue(
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                           columns=("o_custkey", "o_totalprice")),
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=("c_custkey", "c_mktsegment")))
 
 
 REL_SEGMENT_SQL = """

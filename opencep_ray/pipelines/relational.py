@@ -55,7 +55,8 @@ def pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
         lambda t: t.filter(pc.less(t["l_shipdate"], cutoff_scalar)),
         batch_format="pyarrow")
     partials = filtered.map_batches(_Q1Partial(), batch_format="pyarrow")
-    out = (partials.groupby(["l_returnflag", "l_linestatus"])
+    out = (partials.groupby(["l_returnflag", "l_linestatus"],
+                           num_partitions=4)
            .aggregate(Sum("_sum_qty", alias_name="sum_qty"),
                       Sum("_sum_base", alias_name="sum_base_price"),
                       Sum("_sum_disc", alias_name="sum_disc_price"),
@@ -104,7 +105,7 @@ def segment_revenue(orders: Dataset, customer: Dataset) -> Dataset:
     partials = orders.map_batches(_SegmentLookup, batch_format="pyarrow",
                                   fn_constructor_args=(seg_ref,),
                                   concurrency=(1, 8))
-    out = (partials.groupby("c_mktsegment")
+    out = (partials.groupby("c_mktsegment", num_partitions=4)
            .aggregate(Sum("_rev", alias_name="revenue"),
                       Sum("_n", alias_name="n_orders")))
 

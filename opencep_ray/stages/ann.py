@@ -28,6 +28,28 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def list_col_to_numpy(arr, dtype=np.float64) -> np.ndarray:
+    """(n, d) numpy matrix from an Arrow ``list<float>`` /
+    ``fixed_size_list`` column without a per-row Python round-trip: the
+    flat child buffer is viewed and reshaped when rows are uniform-width
+    (the embedding-column contract), falling back to ``to_pylist`` only
+    for ragged data."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), arr.type.list_size) \
+            .astype(dtype, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), int(widths[0])) \
+                .astype(dtype, copy=False)
+    return np.array(arr.to_pylist(), dtype=dtype)
+
+
 class _BatchTopK:
     """Local top-k per query per batch (stateful: queries fetched once per
     actor from the object store)."""
@@ -41,8 +63,9 @@ class _BatchTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        mat = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        mat = list_col_to_numpy(batch[self.vec_col])
         sims = self.q_unit @ _unit_rows(mat).T        # (Q, B)
         k = min(self.k, sims.shape[1])
         out_q, out_id, out_sim = [], [], []
@@ -85,8 +108,8 @@ def ann_brute_force(ds: Dataset, query_ids, query_vecs, k: int = 10,
     local = ds.map_batches(_BatchTopK, batch_format="pyarrow",
                            fn_constructor_args=(ref, k, id_col, vec_col),
                            concurrency=(1, 8))
-    return local.groupby("q_id").map_groups(_GlobalTopK(k),
-                                            batch_format="pyarrow")
+    return local.groupby("q_id", num_partitions=8).map_groups(
+        _GlobalTopK(k), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -123,8 +146,7 @@ class _AssignCentroid:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _unit_rows(np.array(batch[self.vec_col].to_pylist(),
-                                  dtype=np.float64))
+        mat = _unit_rows(list_col_to_numpy(batch[self.vec_col]))
         assign = np.argmax(mat @ self.cents.T, axis=1)
         return batch.append_column("centroid",
                                    pa.array(assign.astype(np.int32)))
@@ -162,10 +184,9 @@ def ann_ivf(ds: Dataset, query_ids, query_vecs, k: int = 10,
                 if not mask.any():
                     continue
                 sub = batch.filter(pa.array(mask))
-                ids = np.asarray(sub[self.id_col].to_pylist(),
-                                 dtype=np.int64)
-                mat = np.array(sub[self.vec_col].to_pylist(),
-                               dtype=np.float64)
+                ids = sub[self.id_col].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False)
+                mat = list_col_to_numpy(sub[self.vec_col])
                 sims = (self.q_unit[qi:qi + 1] @ _unit_rows(mat).T)[0]
                 kk = min(k, len(sims))
                 part = np.argpartition(-sims, kk - 1)[:kk]
@@ -182,5 +203,5 @@ def ann_ivf(ds: Dataset, query_ids, query_vecs, k: int = 10,
 
     local = assigned.map_batches(_ProbedTopK, batch_format="pyarrow",
                                  concurrency=(1, 8))
-    return local.groupby("q_id").map_groups(_GlobalTopK(k),
-                                            batch_format="pyarrow")
+    return local.groupby("q_id", num_partitions=8).map_groups(
+        _GlobalTopK(k), batch_format="pyarrow")

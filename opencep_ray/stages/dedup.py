@@ -21,6 +21,7 @@ Scale shapes (100 TB thinking):
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Optional, Sequence
 
 import numpy as np
@@ -29,6 +30,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
+
+logger = logging.getLogger(__name__)
 
 # Universal-hash modulus for MinHash permutations.  2^31−1 (a Mersenne
 # prime) with 30-bit shingle hashes keeps every product a·h < 2^61 inside
@@ -44,7 +47,10 @@ class _ContentHash:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
-        h = pl.from_arrow(batch[self.col]).hash(seed=7)
+        # int64 reinterpret: hash-shuffle partitioning needs arrow-native
+        # ints (uint64 > 2^63 would fall back to pickled objects)
+        h = pl.from_arrow(batch[self.col]).hash(seed=7) \
+            .reinterpret(signed=True)
         return pa.table({
             self.id_col: batch[self.id_col],
             "_h": h.to_arrow(),
@@ -53,7 +59,8 @@ class _ContentHash:
 
 
 def exact_dedup_ids(ds: Dataset, col: str = "text",
-                    id_col: str = "doc_id") -> Dataset:
+                    id_col: str = "doc_id",
+                    num_partitions: int = 32) -> Dataset:
     """Ids of the kept representative (min id) per distinct content.
 
     Shuffles only (id, hash) pairs.  The 64-bit polars hash plus the length
@@ -61,7 +68,7 @@ def exact_dedup_ids(ds: Dataset, col: str = "text",
     oracle ``SELECT min(id) FROM t GROUP BY col``."""
     hashed = ds.map_batches(_ContentHash(col, id_col),
                             batch_format="pyarrow")
-    return (hashed.groupby(["_h", "_len"])
+    return (hashed.groupby(["_h", "_len"], num_partitions=num_partitions)
             .aggregate(Min(id_col, alias_name=id_col))
             .select_columns([id_col]))
 
@@ -143,7 +150,9 @@ class _BandExplode:
         return pa.table({
             self.id_col: pa.array(out_ids),
             "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_bh, pa.uint64()),
+            # int64 reinterpret (see _ContentHash)
+            "band_hash": pa.array(
+                np.array(out_bh, dtype=np.uint64).view(np.int64)),
         })
 
 
@@ -156,7 +165,16 @@ class _BucketPairs:
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = sorted(group[self.id_col].to_pylist())
         a_out, b_out = [], []
-        if 1 < len(ids) <= self.max_bucket:
+        if len(ids) > self.max_bucket:
+            # never a silent cap: a degenerate bucket is loud in the logs
+            # so a run can be re-shingled/re-banded instead of quietly
+            # losing recall
+            logger.warning(
+                "minhash-lsh: dropping bucket of %d docs (> cap %d); "
+                "%d candidate pairs skipped",
+                len(ids), self.max_bucket,
+                len(ids) * (len(ids) - 1) // 2)
+        elif len(ids) > 1:
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a_out.append(ids[i])
@@ -168,25 +186,47 @@ class _BucketPairs:
 def minhash_lsh_candidates(ds: Dataset, col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 3,
-                           max_bucket: int = 200) -> Dataset:
+                           max_bucket: int = 200,
+                           num_partitions: int = 32) -> Dataset:
     """Candidate near-duplicate pairs via banded MinHash.
 
     Buckets larger than ``max_bucket`` are skipped (hot-bucket guard; at
-    100 TB a degenerate bucket would otherwise emit O(n²) pairs — the cap
-    is logged in the dedup report rather than silently wrong results at
-    small scale, where buckets never reach the cap)."""
+    100 TB a degenerate bucket would otherwise emit O(n²) pairs).  Every
+    dropped bucket is logged with its size and skipped-pair count by
+    :class:`_BucketPairs`; :func:`lsh_bucket_stats` gives a queryable
+    audit of bucket sizes vs the cap."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
         MinHashSignatures(col, id_col, num_perm, shingle_k),
         batch_format="pyarrow")
     exploded = sigs.map_batches(_BandExplode(id_col, bands, rows_per_band),
                                 batch_format="pyarrow")
-    pairs = (exploded.groupby(["band", "band_hash"])
+    pairs = (exploded.groupby(["band", "band_hash"],
+                              num_partitions=num_partitions)
              .map_groups(_BucketPairs(id_col, max_bucket),
                          batch_format="pyarrow"))
     # a pair found in several bands appears once
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
+    return pairs.groupby(["id_a", "id_b"],
+                         num_partitions=num_partitions).aggregate(
         Count(alias_name="n_bands"))
+
+
+def lsh_bucket_stats(ds: Dataset, col: str = "text",
+                     id_col: str = "doc_id", num_perm: int = 64,
+                     bands: int = 16, shingle_k: int = 3,
+                     max_bucket: int = 200) -> Dataset:
+    """Audit companion to :func:`minhash_lsh_candidates`: per-bucket doc
+    counts for buckets that EXCEED the hot-bucket cap (empty result =
+    nothing was dropped).  Same signature pipeline, one tiny aggregate."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHashSignatures(col, id_col, num_perm, shingle_k),
+        batch_format="pyarrow")
+    exploded = sigs.map_batches(_BandExplode(id_col, bands, rows_per_band),
+                                batch_format="pyarrow")
+    counts = (exploded.groupby(["band", "band_hash"], num_partitions=32)
+              .aggregate(Count(alias_name="bucket_size")))
+    return counts.filter(expr=f"bucket_size > {int(max_bucket)}")
 
 
 def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
@@ -270,7 +310,8 @@ class SimHashSignatures:
 
 def simhash_candidates(ds: Dataset, col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       max_bucket: int = 500) -> Dataset:
+                       max_bucket: int = 500,
+                       num_partitions: int = 32) -> Dataset:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` found by
     16-bit banding (any pair within distance 3 shares at least one of the
     4 bands)."""
@@ -303,6 +344,10 @@ def simhash_candidates(ds: Dataset, col: str = "text",
                 .astype(np.uint64)
             order = np.argsort(ids, kind="stable")
             a_out, b_out, d_out = [], [], []
+            if len(ids) > max_bucket:
+                logger.warning(
+                    "simhash: dropping bucket of %d docs (> cap %d)",
+                    len(ids), max_bucket)
             if 1 < len(ids) <= max_bucket:
                 for ii in range(len(order)):
                     for jj in range(ii + 1, len(order)):
@@ -319,9 +364,11 @@ def simhash_candidates(ds: Dataset, col: str = "text",
                              "hamming": pa.array(d_out, pa.int32())})
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    pairs = (exploded.groupby(["band", "band_hash"])
+    pairs = (exploded.groupby(["band", "band_hash"],
+                              num_partitions=num_partitions)
              .map_groups(_HamPairs(), batch_format="pyarrow"))
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
+    return pairs.groupby(["id_a", "id_b"],
+                         num_partitions=num_partitions).aggregate(
         Min("hamming", alias_name="hamming"))
 
 
@@ -373,7 +420,7 @@ def ngram_jaccard_blocked(ds: Dataset, block_col: str, col: str = "text",
     """Exact word-n-gram Jaccard over all pairs **within a block** (e.g.
     ``source``).  Blocking bounds the pair count; the SQL oracle mirrors
     the same blocking, so results are exactly comparable."""
-    return ds.groupby(block_col).map_groups(
+    return ds.groupby(block_col, num_partitions=16).map_groups(
         _BlockJaccard(col, id_col, n, threshold), batch_format="pyarrow")
 
 
@@ -385,8 +432,9 @@ class _BlockCosine:
         self.__name__ = "BlockCosine"
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from .ann import list_col_to_numpy
         ids = np.asarray(group[self.id_col].to_pylist())
-        mat = np.array(group[self.vec_col].to_pylist(), dtype=np.float64)
+        mat = list_col_to_numpy(group[self.vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
@@ -411,5 +459,5 @@ def embedding_neardup_blocked(ds: Dataset, block_col: str = "label",
                               threshold: float = 0.9) -> Dataset:
     """Embedding-cosine near-dup pairs within a block (all-pairs matmul per
     block, float64)."""
-    return ds.groupby(block_col).map_groups(
+    return ds.groupby(block_col, num_partitions=16).map_groups(
         _BlockCosine(id_col, vec_col, threshold), batch_format="pyarrow")

@@ -77,7 +77,8 @@ def windowed_agg(ds: Dataset, size_s: float, hop_s: Optional[float] = None,
     aggs = [Sum("_n", alias_name="n")]
     if value_col:
         aggs.append(Sum("_sum", alias_name=f"sum_{value_col}"))
-    out = partials.groupby(["window_start"] + list(keys)).aggregate(*aggs)
+    out = partials.groupby(["window_start"] + list(keys),
+                           num_partitions=32).aggregate(*aggs)
     if value_col:
         col = f"sum_{value_col}"
 
@@ -137,4 +138,5 @@ def session_windows(ds: Dataset, gap_s: float, key_col: str,
     """Gap-based session windows per key: one hash shuffle, vectorized
     assignment per group."""
     fn = _SessionAssign(int(gap_s * 1_000_000), key_col, ts_col, value_col)
-    return ds.groupby(key_col).map_groups(fn, batch_format="pyarrow")
+    return ds.groupby(key_col, num_partitions=32).map_groups(
+        fn, batch_format="pyarrow")
