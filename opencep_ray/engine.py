@@ -63,7 +63,8 @@ class EngineConfig:
                  num_partitions: int = 64,
                  hot_keys: Optional[Sequence] = None,
                  slice_multiple: int = 12,
-                 vector_pushdown: bool = True):
+                 vector_pushdown: bool = True,
+                 hash_shuffle: bool = False):
         self.key_col = key_col
         self.ts_col = ts_col
         self.type_col = type_col
@@ -80,6 +81,12 @@ class EngineConfig:
         self.slice_multiple = slice_multiple
         # vectorized pushdown of declarative leaf conditions pre-shuffle
         self.vector_pushdown = vector_pushdown
+        # exchange strategy for the batch engine's one shuffle: sort-based
+        # (default; cheapest at small scale) or Ray's hash-shuffle operator
+        # (aggregator actor pool, pipelined — no all-to-all sort barrier;
+        # preferable on long-running large jobs where actor startup
+        # amortizes)
+        self.hash_shuffle = hash_shuffle
 
 
 def transcript_config(num_partitions: int = 64,
@@ -470,6 +477,9 @@ class CEP:
                      self.max_window_us, self._prefilters())
         evaluate = _PartitionCEP(self.compiled, self.cfg, emitter,
                                  prep.slice_len_us)
+        if self.cfg.hash_shuffle:
+            from .stages import use_hash_shuffle
+            ds = use_hash_shuffle(ds)
         return (ds.map_batches(prep, batch_format="pyarrow")
                 .groupby("_part", num_partitions=self.cfg.num_partitions)
                 .map_groups(evaluate, batch_format="pyarrow"))

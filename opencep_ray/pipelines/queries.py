@@ -572,32 +572,16 @@ def multimodal_decode(sf_dir):
 
 
 def curate_documents(sf_dir):
-    """Composed training-data curation pipeline: exact dedup (keep min id
-    per content) → quality filter (score ≥ 0.4) → language + fingerprint
-    annotation.  One streaming pass after the dedup semi-join: the kept-id
-    set is broadcast (ray.put) and probed per batch — no second shuffle."""
-    import ray
+    """Composed training-data curation pipeline: exact dedup (keep the
+    min-id row per distinct content, selected INSIDE the dedup shuffle —
+    no driver-side kept-id set, nothing broadcast) → quality filter
+    (score ≥ 0.4) → language + fingerprint annotation, all streaming."""
     import pyarrow.compute as pc
-    from ..stages.dedup import exact_dedup_ids
+    from ..stages.dedup import exact_dedup_rows
     from ..stages.text import Fingerprint, LangId, QualityScore
 
-    docs = _documents(sf_dir)
-    keep_ids = exact_dedup_ids(docs).to_pandas()["doc_id"]
-    keep_ref = ray.put(set(int(i) for i in keep_ids))
-
-    class _KeepFilter:
-        def __init__(self):
-            self.keep = ray.get(keep_ref)
-
-        def __call__(self, batch):
-            import pyarrow as pa_
-            mask = [int(i) in self.keep
-                    for i in batch["doc_id"].to_pylist()]
-            return batch.filter(pa_.array(mask))
-
-    out = (docs.map_batches(_KeepFilter, batch_format="pyarrow",
-                            concurrency=2)
-           .map_batches(QualityScore(), batch_format="pyarrow")
+    kept = exact_dedup_rows(_documents(sf_dir))
+    out = (kept.map_batches(QualityScore(), batch_format="pyarrow")
            .map_batches(lambda t: t.filter(
                pc.greater_equal(t["quality_score"], 0.4)),
                batch_format="pyarrow")

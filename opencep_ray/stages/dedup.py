@@ -73,6 +73,46 @@ def exact_dedup_ids(ds: Dataset, col: str = "text",
             .select_columns([id_col]))
 
 
+class _KeepMinIdRow:
+    """Group = one (content-hash, length) bucket: keep the min-id row per
+    DISTINCT text inside the bucket (hash collisions resolved exactly)."""
+
+    def __init__(self, col: str, id_col: str):
+        self.col = col
+        self.id_col = id_col
+        self.__name__ = "KeepMinIdRow"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(group)
+        return (df.sort(self.id_col)
+                .group_by(self.col, maintain_order=True).first()
+                .to_arrow().select(group.column_names))
+
+
+def exact_dedup_rows(ds: Dataset, col: str = "text",
+                     id_col: str = "doc_id",
+                     num_partitions: int = 32) -> Dataset:
+    """Full rows of the kept representative (min id) per distinct content
+    — the in-shuffle winner selection for composed pipelines: one hash
+    shuffle of the rows, no driver-side id set (``exact_dedup_ids``'s
+    result at 100 TB is ≈ the corpus, so a broadcast semi-join would OOM
+    the driver; see VERDICT r1).  Use :func:`exact_dedup_ids` when only
+    ids are needed (it never shuffles text)."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        h = pl.from_arrow(batch[col]).hash(seed=7).reinterpret(signed=True)
+        batch = batch.append_column("_h", h.to_arrow())
+        return batch.append_column(
+            "_len", pc.cast(pc.utf8_length(batch[col]), pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    deduped = (hashed.groupby(["_h", "_len"], num_partitions=num_partitions)
+               .map_groups(_KeepMinIdRow(col, id_col),
+                           batch_format="pyarrow"))
+    return deduped.drop_columns(["_h", "_len"])
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -229,50 +269,127 @@ def lsh_bucket_stats(ds: Dataset, col: str = "text",
     return counts.filter(expr=f"bucket_size > {int(max_bucket)}")
 
 
+class _ShingleSets:
+    """(doc_id, sorted shingle-hash list) per document — the join payload
+    for candidate verification (shingle ints are shuffled, never text)."""
+
+    def __init__(self, col: str, id_col: str, shingle_k: int):
+        self.hasher = MinHashSignatures(col, id_col, 1, shingle_k)
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sets = [np.unique(self.hasher.shingle_hashes(t or ""))
+                for t in batch[self.col].to_pylist()]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "_sh": pa.array([s.tolist() for s in sets],
+                            pa.list_(pa.int64())),
+            "_pa": pa.array([None] * len(batch), pa.int64()),
+            "_pb": pa.array([None] * len(batch), pa.int64()),
+        })
+
+
+class _AttachShingles:
+    """Group = one doc id's rows: exactly one shingle row (from docs) plus
+    zero or more pair-reference rows; emits (pair, side, shingles)."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+        self.__name__ = "AttachShingles"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        sh_rows = group.filter(pc.is_valid(group["_sh"]))
+        refs = group.filter(pc.is_null(group["_sh"]))
+        empty = pa.table({"_pa": pa.array([], pa.int64()),
+                          "_pb": pa.array([], pa.int64()),
+                          "_side": pa.array([], pa.int8()),
+                          "_sh": pa.array([], pa.list_(pa.int64()))})
+        if sh_rows.num_rows == 0 or refs.num_rows == 0:
+            return empty
+        sh = sh_rows["_sh"][0]
+        doc = sh_rows[self.id_col][0]
+        side = pc.cast(pc.equal(refs["_pb"], doc), pa.int8())
+        return pa.table({"_pa": refs["_pa"], "_pb": refs["_pb"],
+                         "_side": side,
+                         "_sh": pa.array([sh.as_py()] * refs.num_rows,
+                                         pa.list_(pa.int64()))})
+
+
+class _PairJaccard:
+    """Group = one candidate pair's two sides → exact Jaccard."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+        self.__name__ = "PairJaccard"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if group.num_rows != 2:
+            return empty  # a side was missing from the docs table
+        sides = group["_side"].to_pylist()
+        if sorted(sides) != [0, 1]:
+            return empty
+        sh = group["_sh"].to_pylist()
+        a = np.asarray(sh[0], dtype=np.int64)
+        b = np.asarray(sh[1], dtype=np.int64)
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        jac = inter / union if union else 0.0
+        if jac < self.threshold:
+            return empty
+        return pa.table({
+            "id_a": pa.array([group["_pa"][0].as_py()], pa.int64()),
+            "id_b": pa.array([group["_pb"][0].as_py()], pa.int64()),
+            "jaccard": pa.array([jac], pa.float64())})
+
+
 def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
                    id_col: str = "doc_id", shingle_k: int = 3,
-                   threshold: float = 0.5) -> Dataset:
-    """Exact-Jaccard verification of candidate pairs.  The document shingle
-    sets of candidate ids are broadcast via ``ray.put`` (candidate id set
-    ≪ corpus); at larger scale replace with a bucketed join on id."""
-    import ray
+                   threshold: float = 0.5,
+                   num_partitions: int = 32) -> Dataset:
+    """Exact-Jaccard verification of candidate pairs as a fully
+    distributed bucketed join — NO driver-side candidate set, nothing
+    broadcast:
 
-    hasher = MinHashSignatures(col, id_col, 1, shingle_k)
-    cand_ids = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["id_a"].to_pylist())
-        cand_ids.update(b["id_b"].to_pylist())
-    if not cand_ids:
-        return pairs.map_batches(
-            lambda t: t.append_column("jaccard",
-                                      pa.array([], pa.float64())),
-            batch_format="pyarrow")
+    1. each pair ``(a, b)`` explodes into two reference rows keyed by doc
+       id; the docs side contributes one sorted-shingle row per doc;
+    2. ``groupby(doc id)`` attaches the doc's shingle set to each of its
+       pair references (docs with no references shuffle one shingle list
+       and are dropped in the group);
+    3. ``groupby(pair)`` brings the two sides together and computes the
+       exact Jaccard, filtered by ``threshold``.
 
-    id_arr = pa.array(list(cand_ids))
-    shingle_map = {}
-    for b in docs.map_batches(
-            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b[id_col].to_pylist(), b[col].to_pylist()):
-            shingle_map[i] = set(hasher.shingle_hashes(t or "").tolist())
-    ref = ray.put(shingle_map)
+    Shuffle volume: O(corpus shingle lists + candidate pair refs)."""
+    def pair_refs(batch: pa.Table) -> pa.Table:
+        ids_a = pc.cast(batch["id_a"], pa.int64())
+        ids_b = pc.cast(batch["id_b"], pa.int64())
+        both = pa.concat_arrays([ids_a.combine_chunks(),
+                                 ids_b.combine_chunks()])
+        pa_col = pa.concat_arrays([ids_a.combine_chunks()] * 2)
+        pb_col = pa.concat_arrays([ids_b.combine_chunks()] * 2)
+        n = len(both)
+        return pa.table({
+            id_col: both,
+            "_sh": pa.array([None] * n, pa.list_(pa.int64())),
+            "_pa": pa_col,
+            "_pb": pb_col,
+        })
 
-    class _Verify:
-        def __init__(self):
-            self.shingles = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja = []
-            for a, b_ in zip(batch["id_a"].to_pylist(),
-                             batch["id_b"].to_pylist()):
-                sa, sb = self.shingles[a], self.shingles[b_]
-                union = len(sa | sb)
-                ja.append(len(sa & sb) / union if union else 0.0)
-            return batch.append_column("jaccard",
-                                       pa.array(ja, pa.float64()))
-
-    out = pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=2)
-    return out.filter(lambda r: r["jaccard"] >= threshold)
+    refs = pairs.map_batches(pair_refs, batch_format="pyarrow")
+    shingles = docs.map_batches(_ShingleSets(col, id_col, shingle_k),
+                                batch_format="pyarrow")
+    # reorder ref columns to the shingle schema for the union
+    refs = refs.select_columns([id_col, "_sh", "_pa", "_pb"])
+    shingles = shingles.select_columns([id_col, "_sh", "_pa", "_pb"])
+    attached = (shingles.union(refs)
+                .groupby(id_col, num_partitions=num_partitions)
+                .map_groups(_AttachShingles(id_col),
+                            batch_format="pyarrow"))
+    return (attached.groupby(["_pa", "_pb"], num_partitions=num_partitions)
+            .map_groups(_PairJaccard(threshold), batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,46 @@ def test_session_windows_with_sums(ray_session):
     out = out.sort_values(["uid", "session_start"]).reset_index(drop=True)
     assert list(out.n) == [2, 1, 1]
     assert list(out.sum_value) == [3.0, 4.0, 8.0]
+
+
+def test_exact_dedup_rows_matches_ids(ray_session):
+    """In-shuffle winner rows == the id-only dedup's winners (same rows a
+    broadcast semi-join would have kept), with all columns preserved."""
+    import ray.data as rd
+    from opencep_ray.stages.dedup import exact_dedup_ids, exact_dedup_rows
+    table = _docs_with_planted_dups()
+    ids = sorted(exact_dedup_ids(rd.from_arrow(table))
+                 .to_pandas()["doc_id"])
+    rows = exact_dedup_rows(rd.from_arrow(table)).to_pandas()
+    assert sorted(rows["doc_id"]) == ids
+    assert set(rows.columns) == {"doc_id", "text"}
+    # winner row carries its own text
+    src = table.to_pandas().set_index("doc_id")["text"]
+    for _, r in rows.iterrows():
+        assert r["text"] == src[r["doc_id"]]
+
+
+def test_verify_jaccard_matches_bruteforce(ray_session):
+    """The distributed bucketed join reproduces a driver-side brute-force
+    Jaccard over the same candidate pairs, bit-for-bit."""
+    import ray.data as rd
+    from opencep_ray.stages.dedup import (MinHashSignatures,
+                                          minhash_lsh_candidates,
+                                          verify_jaccard)
+    table = _docs_with_planted_dups(n=40, seed=9)
+    ds = rd.from_arrow(table)
+    cands = minhash_lsh_candidates(ds, shingle_k=3).to_pandas()
+    got = verify_jaccard(
+        rd.from_arrow(pa.Table.from_pandas(
+            cands[["id_a", "id_b"]].reset_index(drop=True))),
+        ds, threshold=0.0).to_pandas()
+    got_map = dict(zip(zip(got.id_a, got.id_b), got.jaccard))
+    hasher = MinHashSignatures("text", "doc_id", 1, 3)
+    texts = dict(zip(table["doc_id"].to_pylist(),
+                     table["text"].to_pylist()))
+    assert len(got_map) == len(cands)
+    for a, b in zip(cands.id_a, cands.id_b):
+        sa = set(hasher.shingle_hashes(texts[a]).tolist())
+        sb = set(hasher.shingle_hashes(texts[b]).tolist())
+        want = len(sa & sb) / len(sa | sb)
+        assert got_map[(a, b)] == want
