@@ -24,19 +24,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator from SURVEY.md §2 plus
     the training-data stages (windows, dedup, text, ANN, multimodal,
     relational)."""
-    from opencep_ray.pipelines.queries import QUERIES, ensure_transcripts
+    from opencep_ray.pipelines.queries import (QUERIES,
+                                               ensure_signature_tables,
+                                               ensure_transcripts)
     ensure_transcripts()
+    ensure_signature_tables()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (tables
     ``events documents embeddings lineitem orders customer`` are
-    pre-registered; the canonical transcripts table is a deterministic
-    parquet under /tmp read via ``read_parquet``).  Keys missing here
-    (minhash/simhash LSH, langid, fingerprint, IVF-ANN, multimodal stubs)
-    are non-SQL-expressible and get the driver's rows-only check; their
-    exactness is covered in tests/."""
-    from opencep_ray.pipelines.queries import ORACLES, ensure_transcripts
+    pre-registered; the canonical transcripts table and the deterministic
+    signature tables behind the minhash/simhash oracles are parquet files
+    under /tmp read via ``read_parquet``).  Keys missing here (IVF-ANN,
+    multimodal stubs) are non-SQL-expressible and get the driver's
+    rows-only check; their exactness is covered in tests/."""
+    from opencep_ray.pipelines.queries import (ORACLES,
+                                               ensure_signature_tables,
+                                               ensure_transcripts)
     ensure_transcripts()
+    ensure_signature_tables()
     return dict(ORACLES)

@@ -40,6 +40,55 @@ def ensure_transcripts() -> str:
     return TRANSCRIPTS_PATH
 
 
+AUX_SF_DIR = "/root/testdata/sf0.01"
+
+
+SIMHASH_SIG_PATH = "/tmp/graft_synth/simhash_current.parquet"
+MINHASH_BANDS_PATH = "/tmp/graft_synth/minhash_bands_current.parquet"
+_SIG_MARKER = "/tmp/graft_synth/signature_source.txt"
+
+
+def ensure_signature_tables(sf_dir: str = AUX_SF_DIR):
+    """Deterministic signature tables derived from ``sf_dir``'s
+    ``documents`` — written under /tmp, read by the DuckDB oracles of
+    ``dedup_simhash`` / ``dedup_minhash`` via ``read_parquet``.  The
+    tables track whichever sf the queries last ran at (the query
+    functions call this with their own ``sf_dir``; a marker file skips
+    regeneration when unchanged), so query and oracle always see the
+    same corpus.
+
+    Trust boundary: the per-document signature computation (blake2b token
+    hashing) is shared between the two sides and covered by its own
+    pytest properties (planted-duplicate recall, determinism); the SQL
+    oracle independently verifies everything downstream — banding,
+    bucketing, pair generation, dedup and aggregation — which is where
+    the distributed logic lives."""
+    import pyarrow.parquet as pq
+    if os.path.exists(_SIG_MARKER) and os.path.exists(SIMHASH_SIG_PATH) \
+            and os.path.exists(MINHASH_BANDS_PATH) \
+            and open(_SIG_MARKER).read() == sf_dir:
+        return SIMHASH_SIG_PATH, MINHASH_BANDS_PATH
+    os.makedirs("/tmp/graft_synth", exist_ok=True)
+    from ..stages.dedup import (MinHashSignatures, SimHashSignatures,
+                                _BandExplode)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sim = SimHashSignatures()(docs)
+    tmp = SIMHASH_SIG_PATH + ".tmp"
+    pq.write_table(sim, tmp)
+    os.rename(tmp, SIMHASH_SIG_PATH)
+    # parameters must mirror dedup_minhash: num_perm=64, bands=16, k=2
+    sigs = MinHashSignatures("text", "doc_id", 64, 2)(docs)
+    bands = _BandExplode("doc_id", 16, 4)(sigs)
+    tmp = MINHASH_BANDS_PATH + ".tmp"
+    pq.write_table(bands, tmp)
+    os.rename(tmp, MINHASH_BANDS_PATH)
+    with open(_SIG_MARKER + ".tmp", "w") as f:
+        f.write(sf_dir)
+    os.rename(_SIG_MARKER + ".tmp", _SIG_MARKER)
+    return SIMHASH_SIG_PATH, MINHASH_BANDS_PATH
+
+
 def _events(sf_dir, columns=("event_id", "ts", "user_id", "event_type",
                               "value")):
     from ..sources import read_parquet_clean
@@ -469,16 +518,50 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def dedup_minhash(sf_dir):
-    """MinHash-LSH candidate pairs (rows-only oracle: the banded hash
-    pipeline is not SQL-expressible; exactness is tested in pytest against
-    planted near-duplicates)."""
+    """MinHash-LSH candidate pairs.  Oracled: the SQL side reproduces the
+    banding / bucket-cap / pair / n-bands logic over a deterministic
+    precomputed band table (see ensure_signature_tables)."""
     from ..stages.dedup import minhash_lsh_candidates
+    ensure_signature_tables(sf_dir)
     return minhash_lsh_candidates(_documents(sf_dir), shingle_k=2)
 
 
+DEDUP_MINHASH_SQL = """
+WITH b AS (SELECT * FROM
+           read_parquet('/tmp/graft_synth/minhash_bands_current.parquet')),
+sizes AS (SELECT band, band_hash, count(*) AS n FROM b GROUP BY 1, 2),
+ok AS (SELECT band, band_hash FROM sizes WHERE n BETWEEN 2 AND 200),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.band
+  FROM b x
+  JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id
+  JOIN ok o ON o.band = x.band AND o.band_hash = x.band_hash)
+SELECT id_a, id_b, count(*) AS n_bands FROM pairs GROUP BY 1, 2
+"""
+
+
 def dedup_simhash(sf_dir):
+    """SimHash banded near-dup pairs.  Oracled: the SQL side reproduces
+    16-bit banding + Hamming <= k over the precomputed signature table."""
     from ..stages.dedup import simhash_candidates
+    ensure_signature_tables(sf_dir)
     return simhash_candidates(_documents(sf_dir), max_hamming=10)
+
+
+DEDUP_SIMHASH_SQL = """
+WITH s AS (SELECT doc_id, simhash FROM
+           read_parquet('/tmp/graft_synth/simhash_current.parquet')),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE ((a.simhash >> 0) & 65535 = (b.simhash >> 0) & 65535
+      OR (a.simhash >> 16) & 65535 = (b.simhash >> 16) & 65535
+      OR (a.simhash >> 32) & 65535 = (b.simhash >> 32) & 65535
+      OR (a.simhash >> 48) & 65535 = (b.simhash >> 48) & 65535))
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 10
+"""
 
 
 def text_stats_q(sf_dir):
@@ -523,11 +606,65 @@ def text_langid(sf_dir):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+# Reproduces LangId.detect exactly: CJK short-circuit, marker-stopword hit
+# counts per language, argmax with first-in-(en,de,fr,es)-order tie rule
+# ("und" when no marker hits).
+TEXT_LANGID_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+             '[a-zàâçéèêëîïôûùüÿñáíóúäöüß]+') AS words,
+         regexp_matches(coalesce(text, ''), '[一-鿿]') AS cjk
+  FROM documents),
+h AS (
+  SELECT doc_id, cjk,
+    len(list_filter(words, x -> x IN ('the','and','of','to','is','in','that','it','with','for'))) AS h_en,
+    len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS h_de,
+    len(list_filter(words, x -> x IN ('le','la','les','et','est','dans','que','pour','une','des'))) AS h_fr,
+    len(list_filter(words, x -> x IN ('el','la','los','y','es','en','que','por','una','con'))) AS h_es
+  FROM w)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+       WHEN h_de = GREATEST(h_de, h_fr, h_es) THEN 'de'
+       WHEN h_fr = GREATEST(h_fr, h_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
 def text_fingerprint(sf_dir):
     from ..stages.text import Fingerprint
     ds = _documents(sf_dir).map_batches(Fingerprint(),
                                         batch_format="pyarrow")
     return ds.select_columns(["doc_id", "fingerprint"])
+
+
+# Reproduces Fingerprint.doc_fingerprint exactly: md5-based token-3-gram
+# hashes, window-4 rolling minima, XOR fold of the distinct minima.
+TEXT_FINGERPRINT_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM t),
+g AS (SELECT doc_id, text,
+        CASE WHEN len(toks) < 3 THEN [text]
+             ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   FOR i IN range(1, len(toks) - 1)] END AS grams
+      FROM tok),
+gh AS (SELECT doc_id, text,
+         [('0x' || substr(md5(g), 1, 16))::UBIGINT FOR g IN grams] AS hs
+       FROM g),
+mins AS (SELECT doc_id, text, hs,
+           [list_min(hs[i:i+least(4, len(hs))-1])
+            FOR i IN range(1, len(hs) - least(4, len(hs)) + 2)] AS m
+         FROM gh)
+SELECT doc_id,
+  CASE WHEN text = '' THEN 0
+       WHEN len(string_split(text, ' ')) < 3
+         THEN ('0x' || substr(md5(text), 1, 16))::UBIGINT
+       ELSE list_aggregate(list_distinct(m), 'bit_xor') END AS fingerprint
+FROM mins
+"""
 
 
 def ann_topk(sf_dir):
@@ -719,9 +856,13 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram": DEDUP_NGRAM_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "curate_documents": CURATE_DOCUMENTS_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

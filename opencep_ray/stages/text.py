@@ -124,10 +124,12 @@ class LangId:
 
 
 def stable_token_hash(token: str) -> int:
-    """64-bit deterministic token hash (process-independent — never use the
-    salted builtin ``hash``)."""
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8)
-                          .digest(), "little")
+    """64-bit deterministic token hash (process-independent — never use
+    the salted builtin ``hash``).  Defined as the big-endian first 8 bytes
+    of md5 so an independent SQL engine can reproduce it exactly
+    (DuckDB: ``('0x' || substr(md5(x), 1, 16))::UBIGINT``) — which is what
+    makes the winnowing fingerprint hard-oracle-able."""
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[:8], "big")
 
 
 class Fingerprint:
