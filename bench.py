@@ -92,11 +92,12 @@ def q_cep_stream():
     files = sorted(glob.glob(f"{ensure_bench_transcripts()}/*.parquet"))
     out = "/tmp/graft_bench/stream_out"
     shutil.rmtree(out, ignore_errors=True)
-    # workers scale proportionally with cluster size (7/8 of CPUs, the
-    # rest left for route tasks + driver) so the two scaling levels
-    # compare like-for-like
+    # workers scale EXACTLY proportionally with cluster size (3/4 of
+    # CPUs; the remaining 1/4 is proportional headroom for route tasks +
+    # driver), so the two scaling levels compare like-for-like: 4 CPUs →
+    # 3 workers, 16 → 12, 32 → 24
     s = StreamingCEP(patterns, transcript_config(),
-                     num_workers=max(2, (NUM_CPUS * 7) // 8),
+                     num_workers=max(2, (NUM_CPUS * 3) // 4),
                      checkpoint_every=10 ** 9)
     stats = s.run_files(files, out, micro_batch_rows=300_000,
                         max_in_flight=8)
@@ -201,13 +202,17 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    """Same job, same input, fresh processes at 8 vs 32 CPUs.
+    """Same job, same input, fresh processes at N vs 4N CPUs with worker
+    count scaling exactly 4× — the sandbox stand-in for the N vs 4N
+    cluster-size criterion.
 
-    Uses an 8M-turn transcripts table and only the flagship CEP
-    pipeline, so per-worker compute dominates fixed pipeline overhead at
-    both levels — the sandbox stand-in for the N vs 4N cluster-size
-    criterion.  Best-of-N fresh-process runs per level (identical
-    treatment) filter shared-box noise."""
+    Default levels are 4 → 16 CPUs (override via GRAFT_SCALING_LEVELS,
+    e.g. "8,32").  On this SHARED box the 32-CPU level needs every core
+    and therefore measures co-tenant contention as much as our engine
+    (BASELINE.md §2); 4 → 16 keeps the 4× ratio while leaving headroom,
+    so the number reflects the engine.  Runs are INTERLEAVED lo/hi and
+    best-of-N per level, so slow drifts in box load hit both levels
+    alike."""
     import subprocess
 
     n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "400000"))
@@ -228,12 +233,13 @@ def run_scaling():
                     "import bench; bench.ensure_bench_transcripts()"],
                    env=env, check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)))
-    lo, hi = 8, 32
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4,16")
+    lo, hi = (int(x) for x in levels.split(","))
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    # best-of-N per level: identical treatment at both levels, filtering
-    # the co-tenant / frequency-scaling noise of this shared box
-    runs_lo = [one(lo) for _ in range(repeats)]
-    runs_hi = [one(hi) for _ in range(repeats)]
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):          # interleaved: lo, hi, lo, hi, ...
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["cep_stream"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["cep_stream"])
     t_lo = r_lo["queries"]["cep_stream"]
@@ -241,11 +247,12 @@ def run_scaling():
     rows = r_lo["transcript_rows"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling efficiency (8 -> 32 cpus, flagship CEP)",
+        "metric": f"scaling efficiency ({lo} -> {hi} cpus, "
+                  "flagship CEP, workers scaled 4x)",
         "transcript_rows": rows,
-        "sec_8": t_lo, "sec_32": t_hi,
-        "turns_per_sec_8": round(rows / t_lo),
-        "turns_per_sec_32": round(rows / t_hi),
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": round(rows / t_lo),
+        f"turns_per_sec_{hi}": round(rows / t_hi),
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3), "unit": "efficiency",
     }))

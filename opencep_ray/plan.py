@@ -110,14 +110,67 @@ def order_dynamic_programming(n: int, rates: Sequence[float],
     return list(best[frozenset(range(n))][1])
 
 
+ITERATIVE_IMPROVEMENT = "iterative_improvement"
+
+
+def order_iterative_improvement(n: int, rates: Sequence[float],
+                                sel: Sequence[Sequence[float]],
+                                step_limit: Optional[int] = None,
+                                ii_type: str = "swap",
+                                init: str = "greedy",
+                                seed: int = 23) -> List[int]:
+    """Randomized local search over left-deep orders — the reference's
+    IterativeImprovementLeftDeepTreeBuilder
+    (plan/LeftDeepTreeBuilders.py:138-177, plan/IterativeImprovement.py):
+    start from a greedy (or seeded-random) order, propose ``step_limit``
+    random swap / 3-cycle moves, keep strictly improving ones.  A fixed
+    seed keeps plans deterministic across workers/runs."""
+    import random as _random
+    rng = _random.Random(seed)
+    if init == "greedy":
+        order = order_greedy(n, rates, sel)
+    else:
+        order = list(range(n))
+        rng.shuffle(order)
+    if n < 2:
+        return order
+    if step_limit is None:
+        step_limit = 10 * n * n
+    cost = intermediate_results_cost(order, rates, sel)
+    for _ in range(step_limit):
+        if ii_type == "circle" and n >= 3:
+            i, j, k = sorted(rng.sample(range(n), 3))
+            move = (i, j, k) if rng.random() < 0.5 else (i, k, j)
+            a, b, c = move
+            order[a], order[b], order[c] = order[b], order[c], order[a]
+            new_cost = intermediate_results_cost(order, rates, sel)
+            if new_cost < cost:
+                cost = new_cost
+            else:
+                order[b], order[c], order[a] = order[a], order[b], order[c]
+        else:
+            i = rng.randrange(n)
+            j = rng.randrange(n)
+            order[i], order[j] = order[j], order[i]
+            new_cost = intermediate_results_cost(order, rates, sel)
+            if new_cost < cost:
+                cost = new_cost
+            else:
+                order[i], order[j] = order[j], order[i]
+    return order
+
+
 _BUILDERS = {
     TRIVIAL: order_trivial,
     SORT_BY_FREQUENCY: order_by_frequency,
     GREEDY: order_greedy,
     DYNAMIC_PROGRAMMING: order_dynamic_programming,
+    ITERATIVE_IMPROVEMENT: order_iterative_improvement,
 }
 
 BUSHY = "bushy"
+ZSTREAM = "zstream"
+ZSTREAM_ORD = "zstream_ord"
 
 
 def bushy_shape(n: int, rates: Sequence[float],
@@ -167,9 +220,50 @@ def bushy_shape(n: int, rates: Sequence[float],
     return best[frozenset(range(n))][1]
 
 
-def choose_shape(n_args: int, statistics: Optional[dict]):
-    """Bushy shape from statistics; falls back to a left-deep chain in
-    declaration order when statistics are unavailable."""
+def zstream_shape(n: int, rates: Sequence[float],
+                  sel: Sequence[Sequence[float]],
+                  ordered: bool = False):
+    """ZStream: min-cost bushy tree over CONTIGUOUS sub-orders of a fixed
+    leaf order — O(n³) DP over order slices instead of the exponential
+    all-subsets DP (reference plan/BushyTreeBuilders.py:68-123).
+    ``ordered=True`` = ZStreamOrd: the leaf order comes from the greedy
+    builder first (reference :118-123)."""
+    order = order_greedy(n, rates, sel) if ordered else list(range(n))
+    if n == 1:
+        return 0
+
+    def card(items) -> float:
+        c = 1.0
+        for i in items:
+            c *= rates[i] * sel[i][i]
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                i, j = items[x], items[y]
+                c *= sel[i][j] * sel[j][i]
+        return c
+
+    # suborder -> (shape, cost); cost = Σ cardinalities of internal nodes
+    best: Dict[tuple, tuple] = {(i,): (i, 0.0) for i in order}
+    for size in range(2, n + 1):
+        for j in range(n - size + 1):
+            sub = tuple(order[j:j + size])
+            sub_card = card(sub)
+            choice = None
+            for k in range(1, size):
+                left, right = sub[:k], sub[k:]
+                lshape, lcost = best[left]
+                rshape, rcost = best[right]
+                total = lcost + rcost + sub_card
+                if choice is None or total < choice[1]:
+                    choice = ((lshape, rshape), total)
+            best[sub] = choice
+    return best[tuple(order)][0]
+
+
+def choose_shape(n_args: int, statistics: Optional[dict],
+                 builder: str = BUSHY):
+    """Bushy/ZStream shape from statistics; falls back to a left-deep
+    chain in declaration order when statistics are unavailable."""
     if not statistics:
         shape = 0
         for i in range(1, n_args):
@@ -181,6 +275,10 @@ def choose_shape(n_args: int, statistics: Optional[dict]):
         return choose_shape(n_args, None)
     if sel is None:
         sel = [[1.0] * n_args for _ in range(n_args)]
+    if builder == ZSTREAM:
+        return zstream_shape(n_args, rates, sel, ordered=False)
+    if builder == ZSTREAM_ORD:
+        return zstream_shape(n_args, rates, sel, ordered=True)
     return bushy_shape(n_args, rates, sel)
 
 

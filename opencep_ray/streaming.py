@@ -285,16 +285,19 @@ class _Router:
 
 
 @ray.remote
-def _route_task(slices, router: "_Router"):
+def _route_task(slices, router: "_Router", columns=None):
     """Reads one micro-batch (a list of (path, row_group, lo, hi) slices)
     and hash-routes it into worker shards.  Runs as a parallel task;
     returns ``W`` shard tables plus the batch's max timestamp
-    (num_returns = W + 1)."""
+    (num_returns = W + 1).  ``columns`` prunes the read to the columns
+    the patterns/payload contract actually needs."""
     parts = []
     for path, rg, lo, hi in slices:
-        parts.append(pq.ParquetFile(path).read_row_group(rg)
+        parts.append(pq.ParquetFile(path)
+                     .read_row_group(rg, columns=columns)
                      .slice(lo, hi - lo))
     table = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    table = table.replace_schema_metadata(None)
     shards = router(table)
     max_ts = None
     if len(table):
@@ -502,6 +505,17 @@ class StreamingCEP:
                 })
 
         W = self.num_workers
+        # prune the route read to the declared column contract (key, ts,
+        # order, type, prob, payload); a type_fn may touch arbitrary
+        # columns, so pruning is only safe with a plain type column
+        read_columns = None
+        if self.cfg.payload_cols is not None and self.cfg.type_fn is None:
+            need = {self.cfg.key_col, self.cfg.ts_col, self.cfg.type_col,
+                    *self.cfg.order_cols, *self.cfg.payload_cols}
+            if self.cfg.prob_col:
+                need.add(self.cfg.prob_col)
+            read_columns = [c for c in pq.read_schema(files[0]).names
+                            if c in need]
         # fractional CPU: route tasks interleave with the actor pool even
         # when workers reserve nearly every scheduling slot
         route = _route_task.options(num_returns=W + 1, num_cpus=0.5)
@@ -511,7 +525,8 @@ class StreamingCEP:
                 continue
             # read + hash-route in a parallel task; shards flow to the
             # workers by object reference (never through the driver)
-            *shard_refs, max_ts_ref = route.remote(slices, router)
+            *shard_refs, max_ts_ref = route.remote(slices, router,
+                                                   read_columns)
             refs = [workers[w].process.remote(shard_refs[w], batch_id)
                     for w in range(W)]
             wm_refs = None
