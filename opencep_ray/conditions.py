@@ -215,6 +215,48 @@ def declarative_form(cond):
     return None
 
 
+def _term_signature(t):
+    if isinstance(t, Variable):
+        attr = getattr(t, "attr", None)
+        return ("var", t.name,
+                attr if attr is not None else id(t.getattr_func))
+    return ("const", repr(t))
+
+
+def condition_signature(cond) -> tuple:
+    """Structural equivalence key for multi-pattern sharing — the analog
+    of the reference's ``Condition.__eq__`` used by its tree-plan mergers
+    (plan/multi/RecursiveTraversalTreePlanMerger.py:10-60): declarative
+    conditions compare structurally; opaque callables compare by
+    identity, so two patterns share a lambda-based condition only when
+    they literally reuse the same callable object."""
+    if isinstance(cond, TrueCondition):
+        return ("true",)
+    if isinstance(cond, BaseRelationCondition):
+        return ("rel", cond.relop, _term_signature(cond.left),
+                _term_signature(cond.right))
+    if isinstance(cond, KCIndexCondition):
+        return ("kcidx", tuple(sorted(cond.names())),
+                id(cond.getattr_func), id(cond.relation_op),
+                cond.first_index, cond.second_index, cond.offset)
+    if isinstance(cond, KCValueCondition):
+        return ("kcval", tuple(sorted(cond.names())),
+                id(cond.getattr_func), id(cond.relation_op),
+                repr(cond.value), cond.index)
+    if isinstance(cond, SimpleCondition):  # incl. BinaryCondition
+        return ("simple", id(cond.relation_op),
+                tuple(_term_signature(t) for t in cond.terms))
+    if isinstance(cond, AndCondition):
+        return ("and", tuple(condition_signature(c)
+                             for c in cond.conditions))
+    if isinstance(cond, OrCondition):
+        return ("or", tuple(condition_signature(c)
+                            for c in cond.conditions))
+    if isinstance(cond, NotCondition):
+        return ("not", condition_signature(cond.condition))
+    return ("obj", id(cond))
+
+
 class AndCondition(Condition):
     """Conjunction with short-circuiting (reference:
     condition/CompositeCondition.py:134-171)."""

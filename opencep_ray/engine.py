@@ -64,7 +64,8 @@ class EngineConfig:
                  hot_keys: Optional[Sequence] = None,
                  slice_multiple: int = 12,
                  vector_pushdown: bool = True,
-                 hash_shuffle: bool = False):
+                 hash_shuffle: bool = False,
+                 share: "Optional[str]" = None):
         self.key_col = key_col
         self.ts_col = ts_col
         self.type_col = type_col
@@ -81,6 +82,10 @@ class EngineConfig:
         self.slice_multiple = slice_multiple
         # vectorized pushdown of declarative leaf conditions pre-shuffle
         self.vector_pushdown = vector_pushdown
+        # multi-pattern plan sharing: None | "leaves" | "subtrees"
+        # (evaluator.ConversationEvaluator docstring; cost-only, results
+        # invariant, auto-disabled with consumption policies)
+        self.share = share
         # exchange strategy for the batch engine's one shuffle: sort-based
         # (default; cheapest at small scale) or Ray's hash-shuffle operator
         # (aggregator actor pool, pipelined — no all-to-all sort barrier;
@@ -413,7 +418,7 @@ class _PartitionCEP:
             key = keys[i]
             cur_slice = int(slices[i]) if slices is not None else -1
             j = i
-            ev = ConversationEvaluator(self.compiled)
+            ev = ConversationEvaluator(self.compiled, share=cfg.share)
             while j < n and keys[j] == key and \
                     (slices is None or slices[j] == cur_slice):
                 payload = {c: v[j] for c, v in col_items}

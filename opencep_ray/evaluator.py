@@ -146,7 +146,7 @@ class _NodeSpec:
                  "min_size", "max_size", "is_unbounded", "is_first_unbounded",
                  "kc_key", "kc_slot", "node_id",
                  "merge_plan", "prec_checks", "needs_dup", "cond_plan",
-                 "eq_probe", "merge_fn")
+                 "eq_probe", "merge_fn", "share_sig")
 
     def __init__(self, kind, children=(), leaf=None):
         self.kind = kind
@@ -173,6 +173,8 @@ class _NodeSpec:
         # tree/PatternMatchStorage.py:173-283)
         self.eq_probe = None
         self.merge_fn = None      # shape-specialized merge closure
+        self.share_sig = None     # structural signature for multi-pattern
+                                  # sharing (None = not shareable)
 
 
 class CompiledPattern:
@@ -428,9 +430,10 @@ class CompiledPattern:
 
         stats = statistics if statistics is not None \
             else getattr(pattern, "statistics", None)
-        if tree_builder == "bushy" and len(pos_args) > 2:
+        if tree_builder in ("bushy", "zstream", "zstream_ord") \
+                and len(pos_args) > 2:
             from .plan import choose_shape
-            shape = choose_shape(len(pos_args), stats)
+            shape = choose_shape(len(pos_args), stats, builder=tree_builder)
 
             def build_shape(sh) -> _NodeSpec:
                 if isinstance(sh, int):
@@ -458,13 +461,25 @@ class CompiledPattern:
                 root = parent
 
         # negation nodes stacked on top: bounded first, then unbounded
-        # (naive negation algorithm, plan/negation/NaiveNegationAlgorithm.py)
+        # (naive negation algorithm, plan/negation/NaiveNegationAlgorithm.py).
+        # With type-count statistics, negatives inside each class are
+        # additionally sorted by DESCENDING arrival rate so the most
+        # frequent negative prunes first — the reference's
+        # StatisticNegationAlgorithm (plan/negation/
+        # StatisticNegationAlgorithm.py:6-25); pure cost ordering, results
+        # are invariant.
+        type_counts = (stats or {}).get("type_counts") \
+            if isinstance(stats, dict) else None
         neg_infos = []
         for a in neg_args:
             pos_after = any(p > arg_positions[id(a)] for p in pos_positions)
             unbounded = (not top_is_seq) or (not pos_after)
-            neg_infos.append((a, unbounded))
-        neg_infos.sort(key=lambda t: t[1])  # bounded (False) first
+            rate = type_counts.get(a.arg.event_type, 0) \
+                if type_counts else 0
+            neg_infos.append((a, unbounded, rate))
+        # stable sort: bounded (False) first, then rate descending
+        neg_infos.sort(key=lambda t: (t[1], -t[2]))
+        neg_infos = [(a, unbounded) for a, unbounded, _ in neg_infos]
         first_unbounded_set = False
         for a, unbounded in neg_infos:
             lf = leaf_for(a.arg.name, True)
@@ -561,6 +576,50 @@ class CompiledPattern:
         # merge interleave, precedence comparisons, duplicate-check need,
         # and condition-binding slots compile to static index plans
         self._compile_node_programs()
+
+        # multi-pattern sharing eligibility + structural signatures
+        # (reference plan/multi/*TreePlanMerger.py; consumption policies
+        # couple node state to one pattern's semantics, so patterns with
+        # policies never share)
+        self.shareable = not (self.single_at_root or self.match_next_types
+                              or self.freeze_blocked_by_type
+                              or self.freezer_names or self.has_contiguity)
+        self._compute_share_sigs()
+
+    def _compute_share_sigs(self):
+        """Bottom-up structural signatures (leaf type/name/conditions, KC
+        bounds, join conditions + positional precedence program).  Two
+        specs with equal signatures evaluate identically on identical
+        input EXCEPT for the pattern window/confidence, which shared
+        nodes relax to the least restrictive value — upper nodes and the
+        output re-validate per pattern, the reference's shared-node rule
+        (tree/nodes/Node.py:330-345, tree/MultiPatternTree.py:46-54).
+        Negation nodes are never shared (pending state is per-pattern)."""
+        from .conditions import condition_signature
+
+        def sig_of(spec: _NodeSpec):
+            conds = tuple(condition_signature(c) for c in spec.conditions)
+            for ch in spec.children:
+                sig_of(ch)
+            if spec.kind == _NodeSpec.KIND_LEAF:
+                lf = spec.leaf
+                spec.share_sig = (
+                    "leaf", lf.event_type, lf.name, lf.negative,
+                    lf.kc_member,
+                    tuple(condition_signature(c) for c in lf.conditions))
+            elif spec.kind == _NodeSpec.KIND_KC:
+                spec.share_sig = ("kc", spec.children[0].share_sig,
+                                  spec.min_size, spec.max_size, conds)
+            elif spec.kind == _NodeSpec.KIND_JOIN:
+                spec.share_sig = (
+                    "join", spec.children[0].share_sig,
+                    spec.children[1].share_sig, conds,
+                    spec.prec_checks, spec.needs_dup)
+            else:
+                spec.share_sig = None
+            return spec.share_sig
+
+        sig_of(self.root)
 
     def structure_summary(self):
         """Nested-tuple summary of the compiled evaluation tree — the
@@ -693,15 +752,36 @@ def compile_patterns(patterns, statistics: Optional[dict] = None,
 
 
 class _RTNode:
-    __slots__ = ("spec", "parent", "side", "buffers", "pending", "filtered")
+    __slots__ = ("spec", "sinks", "buffers", "pending", "filtered")
 
     def __init__(self, spec: _NodeSpec):
         self.spec = spec
-        self.parent: Optional["_RTNode"] = None
-        self.side = 0
+        # where this node's (partial) matches go: a list of
+        # ("up", tree, parent_node, side, remap) links and/or
+        # ("out", tree, remap, strict) output links — more than one when
+        # the node is shared across patterns (multi-pattern sharing)
+        self.sinks: list = []
         self.buffers = None      # join/neg: [left, right]; kc: [child pms]
         self.pending = None      # unbounded-negation pending positives
         self.filtered = None     # single-policy used-event idx set
+
+
+class _SharedView:
+    """Pattern-parameter view of a SHARED subtree: window = max and
+    confidence = least restrictive over the sharing patterns (reference
+    tree/nodes/Node.py:330-345); upper per-pattern nodes and the output
+    sink re-validate against each pattern's own parameters."""
+
+    __slots__ = ("window_us", "confidence")
+
+    # sharing is disabled whenever a pattern carries consumption
+    # policies, so shared nodes never see policy state
+    match_next_types: frozenset = frozenset()
+    single_at_root: frozenset = frozenset()
+
+    def __init__(self, window_us: int, confidence):
+        self.window_us = window_us
+        self.confidence = confidence
 
 
 class SheddingConfig:
@@ -729,17 +809,29 @@ class SheddingConfig:
 
 class ConversationEvaluator:
     """Evaluates compiled patterns over one key's events, fed in arrival
-    order.  Matches accumulate in ``self.matches`` as (pattern_id, PM)."""
+    order.  Matches accumulate in ``self.matches`` as (pattern_id, PM).
+
+    ``share`` enables multi-pattern plan sharing (reference
+    plan/multi/ShareLeavesTreePlanMerger.py:5-14,
+    SubTreeSharingTreePlanMerger.py:5-13): ``"leaves"`` shares equivalent
+    leaves across patterns, ``"subtrees"`` shares arbitrary equivalent
+    subtrees.  A shared subtree is instantiated ONCE as a mini-tree with
+    the least-restrictive window/confidence and fans its results out to
+    every consuming pattern through per-pattern entry-key remaps; upper
+    nodes re-validate per pattern.  Sharing is silently disabled when any
+    pattern carries consumption policies (their state is per-pattern)."""
 
     __slots__ = ("compiled", "matches", "_counter", "_agg_counter", "_trees",
                  "_history", "_max_window_us", "cond_stats",
                  "shedding", "shed_count", "_shed_tick", "_last_ts",
-                 "_shed_rng")
+                 "_shed_rng", "share", "_shared", "_minis", "_all_trees",
+                 "_shared_sigs")
 
     def __init__(self, compiled: List[CompiledPattern],
                  retain_events: bool = False,
                  cond_stats: Optional[Dict] = None,
-                 shedding: Optional["SheddingConfig"] = None):
+                 shedding: Optional["SheddingConfig"] = None,
+                 share: Optional[str] = None):
         self.compiled = compiled
         self.matches: List[Tuple[int, PM]] = []
         self._counter = 0
@@ -754,7 +846,15 @@ class ConversationEvaluator:
         if shedding is not None and shedding.strategy == "random":
             import random as _random
             self._shed_rng = _random.Random(shedding.seed)
+        self.share = share if (share in ("leaves", "subtrees")
+                               and len(compiled) > 1
+                               and all(getattr(cp, "shareable", False)
+                                       for cp in compiled)) else None
+        self._shared_sigs = self._plan_sharing(compiled)
+        self._shared: Dict[tuple, dict] = {}
+        self._minis: List[dict] = []
         self._trees = [self._instantiate(cp) for cp in compiled]
+        self._all_trees = self._minis + self._trees
         # optional in-window event history, enabling replan-with-replay
         # (the reference's tree-swap replay trick,
         # tree/evaluation/TrivialTreeBasedEvaluationMechnism.py:30-55)
@@ -762,40 +862,122 @@ class ConversationEvaluator:
         self._max_window_us = max(cp.window_us for cp in compiled) \
             if compiled else 0
 
+    # -- instantiation ------------------------------------------------------
+    def _plan_sharing(self, compiled) -> frozenset:
+        """Signatures occurring in ≥ 2 patterns (respecting the share
+        mode) — the candidates for shared mini-trees."""
+        if not self.share:
+            return frozenset()
+        counts: Dict[tuple, int] = {}
+        for cp in compiled:
+            seen = set()
+            stack = [cp.root]
+            while stack:
+                s = stack.pop()
+                stack.extend(s.children)
+                sig = s.share_sig
+                if sig is None or sig in seen:
+                    continue
+                if self.share == "leaves" and sig[0] != "leaf":
+                    continue
+                seen.add(sig)
+                counts[sig] = counts.get(sig, 0) + 1
+        return frozenset(sig for sig, c in counts.items() if c >= 2)
+
     def _instantiate(self, cp: CompiledPattern):
-        nodes: Dict[int, _RTNode] = {}
-
-        def inst(spec: _NodeSpec) -> _RTNode:
-            node = _RTNode(spec)
-            nodes[spec.node_id] = node
-            if spec.kind == _NodeSpec.KIND_JOIN and spec.eq_probe is not None:
-                # hash-probed buffers keyed by the equality join value
-                node.buffers = [{"d": {}, "min": None},
-                                {"d": {}, "min": None}]
-            elif spec.kind in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
-                node.buffers = [[], []]
-            elif spec.kind == _NodeSpec.KIND_KC:
-                node.buffers = [[]]
-            if spec.is_first_unbounded:
-                node.pending = []
-            for i, ch_spec in enumerate(spec.children):
-                ch = inst(ch_spec)
-                ch.parent = node
-                ch.side = i
-            return node
-
-        root = inst(cp.root)
+        tree = {"cp": cp, "root": None, "routes": {}, "leaf_nodes": {},
+                "nodes": [], "first_unbounded": None,
+                "freezers": [] if cp.freeze_blocked_by_type else None,
+                "child_minis": []}
+        ref = self._inst_spec(cp.root, cp, tree)
+        if isinstance(ref, _RTNode):
+            tree["root"] = ref
+            ref.sinks.append(("out", tree, None, False))
+        else:
+            _, mini, remap, _spec = ref
+            tree["root"] = mini["root"]
+            # the WHOLE pattern is a shared subtree: re-check the
+            # pattern's own window at output (strict)
+            mini["root"].sinks.append(("out", tree, remap, True))
+            self._attach_mini(tree, mini, cp.window_us, cp.confidence)
         if cp.single_at_root or cp.match_next_types:
-            for n in nodes.values():
+            for n in tree["nodes"]:
                 n.filtered = set()
-        leaf_nodes = {n.spec.leaf.leaf_id: n for n in nodes.values()
-                      if n.spec.kind == _NodeSpec.KIND_LEAF}
-        first_unbounded = next((n for n in nodes.values()
-                                if n.spec.is_first_unbounded), None)
-        return {"cp": cp, "root": root, "leaf_nodes": leaf_nodes,
-                "first_unbounded": first_unbounded,
-                "nodes": list(nodes.values()),
-                "freezers": [] if cp.freeze_blocked_by_type else None}
+        tree["first_unbounded"] = next(
+            (n for n in tree["nodes"] if n.spec.is_first_unbounded), None)
+        return tree
+
+    def _inst_spec(self, spec: _NodeSpec, cp: CompiledPattern, tree):
+        """Returns a fresh _RTNode in ``tree``, or a ("shared", mini,
+        remap, spec) reference to a shared mini-tree."""
+        sig = spec.share_sig
+        if sig is not None and sig in self._shared_sigs:
+            mini = self._shared.get(sig)
+            if mini is None:
+                mini = self._make_mini(spec, cp)
+                self._shared[sig] = mini
+                self._minis.append(mini)
+            remap = _make_remap(mini["owner_spec"], spec)
+            return ("shared", mini, remap, spec)
+        return self._inst_fresh(spec, cp, tree)
+
+    def _inst_fresh(self, spec: _NodeSpec, cp: CompiledPattern,
+                    tree) -> _RTNode:
+        node = _RTNode(spec)
+        tree["nodes"].append(node)
+        if spec.kind == _NodeSpec.KIND_JOIN and spec.eq_probe is not None:
+            # hash-probed buffers keyed by the equality join value
+            node.buffers = [{"d": {}, "min": None},
+                            {"d": {}, "min": None}]
+        elif spec.kind in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
+            node.buffers = [[], []]
+        elif spec.kind == _NodeSpec.KIND_KC:
+            node.buffers = [[]]
+        if spec.is_first_unbounded:
+            node.pending = []
+        if spec.kind == _NodeSpec.KIND_LEAF:
+            tree["leaf_nodes"][spec.leaf.leaf_id] = node
+            tree["routes"].setdefault(spec.leaf.event_type,
+                                      []).append(spec.leaf)
+        for i, ch_spec in enumerate(spec.children):
+            ref = self._inst_spec(ch_spec, cp, tree)
+            if isinstance(ref, _RTNode):
+                ref.sinks.append(("up", tree, node, i, None))
+            else:
+                _, mini, remap, _cs = ref
+                mini["root"].sinks.append(("up", tree, node, i, remap))
+                self._attach_mini(tree, mini, tree["cp"].window_us,
+                                  tree["cp"].confidence)
+        return node
+
+    def _make_mini(self, spec: _NodeSpec, cp: CompiledPattern) -> dict:
+        mini = {"cp": _SharedView(cp.window_us, cp.confidence),
+                "root": None, "routes": {}, "leaf_nodes": {}, "nodes": [],
+                "first_unbounded": None, "freezers": None,
+                "child_minis": [], "owner_spec": spec}
+        mini["root"] = self._inst_fresh(spec, cp, mini)
+        return mini
+
+    def _attach_mini(self, consumer_tree, mini, window_us, confidence):
+        consumer_tree["child_minis"].append(mini)
+        self._bump_view(mini, window_us, confidence)
+
+    def _bump_view(self, mini, window_us, confidence):
+        """Relax a mini-tree's window/confidence to cover a new consumer,
+        propagating into nested minis (reference
+        set_and_propagate_pattern_parameters, tree/nodes/Node.py:330-345)."""
+        view = mini["cp"]
+        changed = False
+        if window_us > view.window_us:
+            view.window_us = window_us
+            changed = True
+        if view.confidence is not None and \
+                (confidence is None or confidence < view.confidence):
+            view.confidence = confidence
+            changed = True
+        if changed:
+            for child in mini["child_minis"]:
+                self._bump_view(child, view.window_us, view.confidence)
 
     # -- ingestion ----------------------------------------------------------
     def process(self, payload: dict, ev_type: str, ts_us: int,
@@ -811,9 +993,9 @@ class ConversationEvaluator:
             if self._history[0][2] < threshold:
                 self._history = [h for h in self._history
                                  if h[2] >= threshold]
-        for tree in self._trees:
+        for tree in self._all_trees:
             cp = tree["cp"]
-            routes = cp.routes.get(ev_type)
+            routes = tree["routes"].get(ev_type)
             freezers = tree["freezers"]
             if freezers:
                 # expire stale freezers against the newest event
@@ -848,7 +1030,7 @@ class ConversationEvaluator:
         expire unbounded negative buffers (their only expiry point — see
         the accounting note at ``_neg_on_positive``; −2·W keeps every
         negative still compatible with some pending positive)."""
-        for tree in self._trees:
+        for tree in self._all_trees:
             self._flush_pending(tree, ts_us)
             thr = ts_us - 2 * tree["cp"].window_us
             for node in tree["nodes"]:
@@ -858,12 +1040,12 @@ class ConversationEvaluator:
 
     def eos(self):
         """End of stream: flush all pending matches (tree/Tree.py:224-238)."""
-        for tree in self._trees:
+        for tree in self._all_trees:
             self._flush_pending(tree, None)
 
     # -- load shedding ------------------------------------------------------
     def _iter_buffers(self, sheddable_only: bool = False):
-        for tree in self._trees:
+        for tree in self._all_trees:
             for node in tree["nodes"]:
                 if not node.buffers:
                     continue
@@ -944,7 +1126,8 @@ class ConversationEvaluator:
         if self._history is None:
             raise ValueError("evaluator was not created with "
                              "retain_events=True")
-        fresh = ConversationEvaluator(new_compiled, retain_events=True)
+        fresh = ConversationEvaluator(new_compiled, retain_events=True,
+                                      share=self.share)
         for payload, typ, ts, prob in self._history:
             fresh.process(dict(payload), typ, ts, prob)
         fresh.matches.clear()
@@ -955,7 +1138,7 @@ class ConversationEvaluator:
         """True when no state can influence future results given the
         watermark: all buffers expire empty and nothing is pending.  Used
         for streaming state eviction (SURVEY.md §4 'memory pressure')."""
-        for tree in self._trees:
+        for tree in self._all_trees:
             threshold = watermark_us - tree["cp"].window_us
             # unbounded negative buffers live to −2·W (see advance_watermark)
             neg_threshold = watermark_us - 2 * tree["cp"].window_us
@@ -995,23 +1178,37 @@ class ConversationEvaluator:
                     return
         node = tree["leaf_nodes"][lf.leaf_id]
         pm = PM(((lf.leaf_id, ev),), ev.prob)
-        self._emit_to_parent(tree, node, pm)
+        self._emit(node, pm)
 
-    def _emit_to_parent(self, tree, node: _RTNode, pm: PM):
-        parent = node.parent
-        if parent is None:
-            self._accept_output(tree, pm)
-            return
-        kind = parent.spec.kind
-        if kind == _NodeSpec.KIND_JOIN:
-            self._join_on_child(tree, parent, pm, node.side)
-        elif kind == _NodeSpec.KIND_KC:
-            self._kc_on_child(tree, parent, pm)
-        elif kind == _NodeSpec.KIND_NEG:
-            if node.side == 0:
-                self._neg_on_positive(tree, parent, pm)
-            else:
-                self._neg_on_negative(tree, parent, pm)
+    def _emit(self, node: _RTNode, pm: PM):
+        """Dispatch a node's (partial) match to every sink: the parent
+        node of each consuming tree (entry keys remapped per pattern for
+        shared nodes) and/or a pattern's output."""
+        for sink in node.sinks:
+            if sink[0] == "out":
+                _, tree, remap, strict = sink
+                out_pm = pm if remap is None else _remap_pm(pm, remap)
+                if strict:
+                    # shared root: re-validate this pattern's own window
+                    # (tree/MultiPatternTree.py:46-54); confidence is
+                    # re-checked inside _accept_output
+                    if out_pm.last_ts - out_pm.first_ts \
+                            > tree["cp"].window_us:
+                        continue
+                self._accept_output(tree, out_pm)
+                continue
+            _, tree, parent, side, remap = sink
+            up_pm = pm if remap is None else _remap_pm(pm, remap)
+            kind = parent.spec.kind
+            if kind == _NodeSpec.KIND_JOIN:
+                self._join_on_child(tree, parent, up_pm, side)
+            elif kind == _NodeSpec.KIND_KC:
+                self._kc_on_child(tree, parent, up_pm)
+            elif kind == _NodeSpec.KIND_NEG:
+                if side == 0:
+                    self._neg_on_positive(tree, parent, up_pm)
+                else:
+                    self._neg_on_negative(tree, parent, up_pm)
 
     # -- join ---------------------------------------------------------------
     def _join_on_child(self, tree, node: _RTNode, pm: PM, side: int):
@@ -1053,7 +1250,7 @@ class ConversationEvaluator:
                                     _joint_prob(pm_prob, opm.prob),
                                     lo, hi)
             if new_pm is not None and self._pass_policy(tree, node, new_pm):
-                self._emit_to_parent(tree, node, new_pm)
+                self._emit(node, new_pm)
 
     # -- kleene closure -----------------------------------------------------
     def _kc_on_child(self, tree, node: _RTNode, pm: PM):
@@ -1087,7 +1284,7 @@ class ConversationEvaluator:
                 new_pm = self._validate(cp, spec, merged, prob)
                 if new_pm is not None and self._pass_policy(tree, node,
                                                             new_pm):
-                    self._emit_to_parent(tree, node, new_pm)
+                    self._emit(node, new_pm)
 
     def _next_idx(self):
         # aggregated events get a distinct id space (negative) so primitive
@@ -1140,7 +1337,7 @@ class ConversationEvaluator:
         if node.spec.is_first_unbounded:
             node.pending.append(out)
         else:
-            self._emit_to_parent(tree, node, out)
+            self._emit(node, out)
 
     def _neg_on_negative(self, tree, node: _RTNode, pm: PM):
         cp = tree["cp"]
@@ -1187,7 +1384,7 @@ class ConversationEvaluator:
             keep = [p for p in first.pending if p.first_ts >= threshold]
         first.pending[:] = keep
         for pm in to_flush:
-            self._emit_to_parent(tree, first, pm)
+            self._emit(first, pm)
 
     # -- validation ---------------------------------------------------------
     def _validate(self, cp: CompiledPattern, spec: _NodeSpec,
@@ -1314,6 +1511,38 @@ class ConversationEvaluator:
             else:
                 out.extend(e.primitives)
         return out
+
+
+def _remap_pm(pm: PM, remap: dict) -> PM:
+    """Translate a shared subtree's PM entry keys into a consuming
+    pattern's key space.  Key assignment within equivalent subtrees is
+    order-preserving (leaves in declaration order, KC keys above all leaf
+    ids in both patterns), so the sorted-entry invariant survives."""
+    return PM(tuple((remap[k], e) for k, e in pm.entries),
+              pm.prob, pm.first_ts, pm.last_ts)
+
+
+def _make_remap(owner_spec: _NodeSpec, other_spec: _NodeSpec):
+    """Entry-key map from a shared mini-tree's owner pattern to another
+    consuming pattern (equivalent subtree structures walked in lockstep);
+    None when the keys already coincide."""
+    remap: Dict[int, int] = {}
+
+    def walk(a: _NodeSpec, b: _NodeSpec):
+        if a.kind == _NodeSpec.KIND_LEAF:
+            remap[a.leaf.leaf_id] = b.leaf.leaf_id
+            return
+        if a.kind == _NodeSpec.KIND_KC:
+            # only the aggregate key escapes a KC node
+            remap[a.kc_key] = b.kc_key
+            return
+        for ca, cb in zip(a.children, b.children):
+            walk(ca, cb)
+
+    walk(owner_spec, other_spec)
+    if all(k == v for k, v in remap.items()):
+        return None
+    return remap
 
 
 def _expire(buf: List[PM], threshold: int):

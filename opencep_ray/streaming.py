@@ -98,7 +98,8 @@ class _WorkerCore:
                 ev = ConversationEvaluator(self.compiled,
                                            retain_events=self.retain_events,
                                            cond_stats=self.cond_stats,
-                                           shedding=self.shedding)
+                                           shedding=self.shedding,
+                                           share=self.cfg.share)
                 self.evaluators[ev_key] = ev
             j = i
             while j < n and keys[j] == key and \
@@ -396,7 +397,9 @@ class StreamingCEP:
                         i, j = touched
                         sel[i][j] *= s_hat
             p.statistics = {"arrival_rates": rates,
-                            "selectivity_matrix": sel}
+                            "selectivity_matrix": sel,
+                            # feeds StatisticNegationAlgorithm ordering
+                            "type_counts": dict(counts)}
         return compile_patterns(self._patterns,
                                 tree_builder=self.tree_builder)
 

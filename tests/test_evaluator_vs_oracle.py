@@ -505,3 +505,27 @@ def test_watermarked_double_negation_matches_oracle(seed):
         want = run_oracle(p, events, probs)
         assert got == want, (f"struct={struct}\nevaluator={got}\n"
                              f"oracle={want}")
+
+
+def test_statistic_negation_ordering_invariant():
+    """StatisticNegationAlgorithm analog: type-count statistics reorder
+    negation nodes by descending rate within bounded/unbounded classes;
+    results are identical either way (cost-only decision, reference
+    plan/negation/StatisticNegationAlgorithm.py:6-25)."""
+    events = gen_stream(77, n=30)
+    p = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Neg(Primitive("assistant", "y")),
+                    Primitive("user", "b")),
+                window=12)
+    base = run_evaluator(p, events)
+    stats = {"type_counts": {"tool": 5, "assistant": 500}}
+    compiled = compile_patterns(p, statistics=stats)
+    ev = ConversationEvaluator(compiled)
+    for payload, typ, ts in events:
+        ev.process(dict(payload), typ, ts)
+    ev.eos()
+    got = sorted(((cp.pattern_id, _canonical(cp, pm),
+                   None if pm.prob is None else round(pm.prob, 9))
+                  for cp, pm in ev.matches), key=repr)
+    assert got == base
+    assert got == run_oracle(p, events)

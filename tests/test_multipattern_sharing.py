@@ -1,0 +1,206 @@
+"""Multi-pattern plan sharing: equivalent leaves/subtrees instantiated
+once and fanned out to every consuming pattern (reference
+plan/multi/ShareLeavesTreePlanMerger.py:5-14,
+SubTreeSharingTreePlanMerger.py:5-13, corpus test/MultiPattern_tests.py).
+
+The invariant under test: for every share mode, the per-pattern match
+sets are IDENTICAL to independent evaluation — sharing is a cost-only
+decision.  Pure Python — no Ray needed."""
+
+import random
+
+import pytest
+
+from opencep_ray import (Col, GreaterThanCondition, Kleene, Neg, Pattern,
+                         Primitive, Seq, And, SmallerThanCondition,
+                         compile_patterns)
+from opencep_ray.evaluator import ConversationEvaluator
+
+SEC = 1_000_000
+
+
+def gen_stream(seed, n=30, types=("user", "assistant", "tool"),
+               tie_prob=0.3):
+    rng = random.Random(seed)
+    ts = 0
+    out = []
+    for i in range(n):
+        if i > 0 and rng.random() >= tie_prob:
+            ts += rng.randint(1, 5) * SEC
+        out.append(({"v": rng.randint(0, 20), "turn": i}, rng.choice(types),
+                    ts))
+    return out
+
+
+def run(patterns, events, share=None, probs=None):
+    compiled = compile_patterns(patterns)
+    ev = ConversationEvaluator(compiled, share=share)
+    for i, (payload, typ, ts) in enumerate(events):
+        ev.process(dict(payload), typ, ts, probs[i] if probs else None)
+    ev.eos()
+    out = []
+    for cp, pm in ev.matches:
+        entries = sorted(pm.entries, key=lambda t: cp.entry_slot[t[0]])
+        key = tuple(tuple(p.idx for p in (e.primitives or (e,)))
+                    for _, e in entries)
+        out.append((cp.pattern_id, key,
+                    None if pm.prob is None else round(pm.prob, 9)))
+    return sorted(out, key=repr), ev
+
+
+def check_modes(patterns, events, probs=None):
+    base, _ = run(patterns, events, share=None, probs=probs)
+    assert base, "empty match set makes a weak test"
+    for mode in ("leaves", "subtrees"):
+        got, ev = run(patterns, events, share=mode, probs=probs)
+        assert got == base, f"mode={mode}\n{got[:4]}\nvs\n{base[:4]}"
+    return base
+
+
+FLAGSHIP = [
+    Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+            GreaterThanCondition(Col("b", "v"), Col("a", "v")),
+            window=120, pattern_id=1),
+    Pattern(Seq(Primitive("user", "a"),
+                Kleene(Primitive("assistant", "b"), max_size=3),
+                Primitive("tool", "c")),
+            window=180, pattern_id=2),
+    Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                Primitive("assistant", "b")),
+            window=150, pattern_id=3),
+]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_flagship_trio_share_invariance(seed):
+    check_modes(FLAGSHIP, gen_stream(seed + 10, n=25))
+
+
+def test_flagship_shares_leaves():
+    _, ev = run(FLAGSHIP, gen_stream(3, n=10), share="leaves")
+    # user leaf shared by all three patterns, assistant by 1 and 3
+    assert len(ev._minis) >= 2
+    shared_leaf_sigs = [m["owner_spec"].share_sig[1]
+                        for m in ev._minis]
+    assert "user" in shared_leaf_sigs
+    assert "assistant" in shared_leaf_sigs
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_shared_join_subtree_different_windows(seed):
+    """Two patterns sharing a full SEQ(a,b) join subtree with DIFFERENT
+    windows: the mini runs at the max window; each pattern's own window
+    re-filters (reference MultiPatternTree.py:46-54)."""
+    cond = GreaterThanCondition(Col("b", "v"), Col("a", "v"))
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                cond, window=4, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                cond, window=15, pattern_id=2),
+    ]
+    base = check_modes(pats, gen_stream(seed + 40, n=22))
+    # the narrow pattern must have strictly fewer matches
+    n1 = sum(1 for pid, _, _ in base if pid == 1)
+    n2 = sum(1 for pid, _, _ in base if pid == 2)
+    assert n1 < n2
+    _, ev = run(pats, gen_stream(seed + 40, n=22), share="subtrees")
+    assert len(ev._minis) >= 1
+    join_minis = [m for m in ev._minis
+                  if m["owner_spec"].share_sig[0] == "join"]
+    assert join_minis and join_minis[0]["cp"].window_us == 15 * SEC
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_shared_subtree_under_larger_pattern(seed):
+    """SEQ(a,b) shared both as pattern 1's whole tree and as a subtree of
+    pattern 2's 3-event chain."""
+    cond = SmallerThanCondition(Col("a", "v"), Col("b", "v"))
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                cond, window=10, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Primitive("tool", "c")), cond, window=10, pattern_id=2),
+    ]
+    check_modes(pats, gen_stream(seed + 70, n=25))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_shared_kleene_subtree(seed):
+    pats = [
+        Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "k"), max_size=2)),
+                window=8, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "k"), max_size=2),
+                    Primitive("tool", "c")),
+                window=12, pattern_id=2),
+    ]
+    check_modes(pats, gen_stream(seed + 100, n=18))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_shared_with_negation_and_probability(seed):
+    rng = random.Random(seed + 130)
+    events = gen_stream(seed + 130, n=22)
+    probs = [round(rng.random(), 3) for _ in events]
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x")),
+                    Primitive("assistant", "b")),
+                window=10, confidence=0.05, pattern_id=1),
+        Pattern(And(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=10, confidence=0.05, pattern_id=2),
+    ]
+    check_modes(pats, events, probs=probs)
+
+
+def test_sharing_disabled_with_policies():
+    from opencep_ray import ConsumptionPolicy, SelectionStrategy
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=10, pattern_id=1,
+                consumption_policy=ConsumptionPolicy(
+                    single="user",
+                    secondary_selection_strategy=SelectionStrategy
+                    .MATCH_SINGLE)),
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                window=10, pattern_id=2),
+    ]
+    _, ev = run(pats, gen_stream(5, n=15), share="subtrees")
+    assert ev.share is None
+    assert not ev._minis
+
+
+def test_shared_evaluates_leaf_conditions_once():
+    """Leaf-condition sharing is the point of ShareLeaves: a shared
+    conditioned leaf evaluates its predicate once per event, not once
+    per pattern."""
+    calls = []
+
+    def pred(v):
+        calls.append(v)
+        return v > 5
+
+    from opencep_ray import SimpleCondition, Variable
+    conds = [SimpleCondition(Variable("a", lambda e: e["v"]),
+                             relation_op=pred) for _ in range(2)]
+    # same condition OBJECT in both patterns → shareable signature
+    cond = conds[0]
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                cond, window=10, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"), Primitive("tool", "c")),
+                cond, window=10, pattern_id=2),
+    ]
+    events = [({"v": 9, "turn": 0}, "user", 0),
+              ({"v": 1, "turn": 1}, "assistant", SEC),
+              ({"v": 2, "turn": 2}, "tool", 2 * SEC)]
+    # condition references only "a" → attached to the shared user leaf
+    base, _ = run(pats, events, share=None)
+    calls.clear()
+    got, ev = run(pats, events, share="leaves")
+    assert got == base
+    shared_calls = len(calls)
+    calls.clear()
+    run(pats, events, share=None)
+    unshared_calls = len(calls)
+    assert shared_calls < unshared_calls

@@ -165,7 +165,8 @@ def test_plan_builders_do_not_change_results():
     stats = {"arrival_rates": [100.0, 200.0, 5.0]}
     results = {}
     for builder in ("trivial", "sort_by_frequency", "greedy",
-                    "dynamic_programming", "bushy"):
+                    "dynamic_programming", "bushy",
+                    "iterative_improvement", "zstream", "zstream_ord"):
         compiled = compile_patterns(p, statistics=stats,
                                     tree_builder=builder)
         out = []
