@@ -283,6 +283,34 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+def cep_hypercube(sf_dir):
+    """Key-less join via HyperCube attribute-grid partitioning: AND of two
+    event types related only by an inequality — no conversation key to
+    GroupByKey on (reference HyperCubeParallelExecutionAlgorithm.py:16-113).
+    Each leaf gets a 4-wide grid axis hashed on its own event_id."""
+    from ..conditions import Col, SmallerThanCondition
+    from ..hypercube import HyperCubeCEP
+    p = Pattern(And(Primitive("signup", "a"), Primitive("error", "b")),
+                SmallerThanCondition(Col("a", "value"), Col("b", "value")),
+                window=MIN_30)
+    emitter = BindingsEmitter(
+        {"a_id": lambda b, pm: b["a"]["event_id"],
+         "b_id": lambda b, pm: b["b"]["event_id"]},
+        pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())]))
+    hc = HyperCubeCEP(p, {"a": ("event_id", 4), "b": ("event_id", 4)},
+                      _events_cfg(), emitter)
+    return hc.run(_events(sf_dir))
+
+
+CEP_HYPERCUBE_SQL = """
+SELECT a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b ON TRUE
+WHERE a.event_type = 'signup' AND b.event_type = 'error'
+  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+  AND a.value < b.value
+"""
+
+
 # ---------------------------------------------------------------------------
 # CEP over the canonical transcripts table (ts ties included)
 
@@ -816,6 +844,7 @@ QUERIES = {
     "cep_kleene": cep_kleene,
     "cep_or": cep_or,
     "cep_contiguity": cep_contiguity,
+    "cep_hypercube": cep_hypercube,
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
     "window_tumbling": window_tumbling,
@@ -847,6 +876,7 @@ ORACLES = {
     "cep_kleene": CEP_KLEENE_SQL,
     "cep_or": CEP_OR_SQL,
     "cep_contiguity": CEP_CONTIGUITY_SQL,
+    "cep_hypercube": CEP_HYPERCUBE_SQL,
     "cep_transcripts_seq2": CEP_TRANSCRIPTS_SEQ2_SQL,
     "cep_transcripts_negation": CEP_TRANSCRIPTS_NEG_SQL,
     "window_tumbling": WINDOW_TUMBLING_SQL,

@@ -45,6 +45,85 @@ from .engine import EngineConfig, MatchesEmitter
 from .evaluator import CompiledPattern, ConversationEvaluator, compile_patterns
 
 
+class _SimultaneousEvaluator:
+    """Plan swap by parallel warm-up instead of replay — the reference's
+    SimultaneousTreeBasedEvaluationMechanism
+    (tree/evaluation/SimultaneousTreeBasedEvaluationMechanism.py:14-92):
+    the OLD evaluator keeps serving matches while the NEW one warms up on
+    the live stream; once the new evaluator has seen one full window of
+    events its state is complete, its warm-up matches (already emitted by
+    the old one) are discarded, and it takes over."""
+
+    __slots__ = ("old", "new", "window_us", "start_ts", "active")
+
+    def __init__(self, old: "ConversationEvaluator",
+                 new: "ConversationEvaluator", window_us: int):
+        self.old = old
+        self.new = new
+        self.window_us = window_us
+        self.start_ts = None
+        self.active = old
+
+    @property
+    def matches(self):
+        return self.active.matches
+
+    @property
+    def cond_stats(self):
+        return self.active.cond_stats
+
+    @property
+    def shed_count(self):
+        return self.active.shed_count
+
+    def _maybe_swap(self, ts_us: int):
+        if self.new is None:
+            return
+        if self.start_ts is None:
+            self.start_ts = ts_us
+            return
+        if ts_us - self.start_ts > self.window_us:
+            # warm-up complete: everything the old evaluator could still
+            # complete (first_ts within one window) is in the new state.
+            # The new tree's warm-up matches are duplicates of the old
+            # tree's and are discarded — EXCEPT that the old tree may
+            # hold matches emitted since the last drain; those carry over
+            # (dropping both copies would lose them).
+            self.new.matches.clear()
+            self.new.matches.extend(self.old.matches)
+            self.old = None
+            self.active = self.new
+            self.new = None
+
+    def process(self, payload: dict, ev_type: str, ts_us: int, prob=None):
+        self._maybe_swap(ts_us)
+        if self.new is None:
+            self.active.process(payload, ev_type, ts_us, prob)
+            return
+        # both trees consume during warm-up; each gets its own payload
+        # dict (they stamp independent arrival indices into it)
+        self.old.process(dict(payload), ev_type, ts_us, prob)
+        self.new.process(dict(payload), ev_type, ts_us, prob)
+
+    def advance_watermark(self, ts_us: int):
+        if self.new is not None:
+            self.new.advance_watermark(ts_us)
+            self.new.matches.clear()  # warm-up matches never emit
+        self.active.advance_watermark(ts_us)
+
+    def eos(self):
+        # stream ended mid-warm-up: the old evaluator is authoritative
+        self.active.eos()
+
+    def is_quiescent(self, watermark_us: int) -> bool:
+        if self.new is not None and not self.new.is_quiescent(watermark_us):
+            return False
+        return self.active.is_quiescent(watermark_us)
+
+    def rebuilt_with(self, new_compiled, cond_stats=None):
+        return self.active.rebuilt_with(new_compiled, cond_stats)
+
+
 class _WorkerCore:
     """The plain-Python core of a streaming worker (kept actor-free so it
     can be unit-tested and pickled for checkpoints)."""
@@ -152,13 +231,37 @@ class _WorkerCore:
             self._drain(conv, sl, ev, rows)
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
 
-    def replan(self, new_compiled: List[CompiledPattern]):
-        """Swaps in newly compiled patterns, rebuilding every evaluator by
-        replaying its retained in-window history (results are unaffected —
-        join order never changes match sets — only evaluation cost)."""
+    def replan(self, new_compiled: List[CompiledPattern],
+               mode: str = "replay"):
+        """Swaps in newly compiled patterns (results are unaffected —
+        join order never changes match sets — only evaluation cost).
+
+        ``mode="replay"``: rebuild every evaluator by replaying its
+        retained in-window history (the reference's Trivial mechanism).
+        ``mode="simultaneous"``: warm the new plan up on the live stream
+        while the old one keeps serving, then swap after one window
+        (SimultaneousTreeBasedEvaluationMechanism.py:14-92) — no replay
+        cost, temporarily double evaluation work."""
         self.compiled = new_compiled
-        self.evaluators = {k: ev.rebuilt_with(new_compiled, self.cond_stats)
-                           for k, ev in self.evaluators.items()}
+        if mode == "replay":
+            self.evaluators = {
+                k: ev.rebuilt_with(new_compiled, self.cond_stats)
+                for k, ev in self.evaluators.items()}
+            return
+        max_w = max(cp.window_us for cp in new_compiled)
+        out = {}
+        for k, ev in self.evaluators.items():
+            if isinstance(ev, _SimultaneousEvaluator):
+                # a pair still warming up: keep the active side, restart
+                # the warm-up against the newest plan
+                ev = ev.active
+            fresh = ConversationEvaluator(self.compiled,
+                                          retain_events=self.retain_events,
+                                          cond_stats=self.cond_stats,
+                                          shedding=self.shedding,
+                                          share=self.cfg.share)
+            out[k] = _SimultaneousEvaluator(ev, fresh, max_w)
+        self.evaluators = out
 
     # -- state --------------------------------------------------------------
     def snapshot(self) -> bytes:
@@ -246,8 +349,8 @@ class _StreamWorker:
         return {"type_counts": dict(self.core.type_counts),
                 "cond_stats": dict(self.core.cond_stats or {})}
 
-    def replan(self, new_compiled) -> bool:
-        self.core.replan(new_compiled)
+    def replan(self, new_compiled, mode: str = "replay") -> bool:
+        self.core.replan(new_compiled, mode)
         return True
 
     def stats(self) -> dict:
@@ -323,7 +426,9 @@ class StreamingCEP:
                  checkpoint_every: int = 8,
                  ts_ordered_input: bool = False,
                  adaptive: bool = False, replan_every: int = 16,
-                 tree_builder: str = "greedy", shedding=None):
+                 tree_builder: str = "greedy", shedding=None,
+                 deviation_threshold: Optional[float] = None,
+                 replan_mode: str = "replay"):
         from .pattern import Pattern
         self.cfg = cfg or EngineConfig()
         self._patterns = [patterns] if isinstance(patterns, Pattern) \
@@ -342,9 +447,55 @@ class StreamingCEP:
         self.adaptive = adaptive
         self.replan_every = replan_every
         self.tree_builder = tree_builder
+        # deviation-aware trigger (reference adaptive/optimizer/
+        # DeviationAwareTester.py, Optimizer.py:75-132): when set, a
+        # replan point only fires if some pattern-relevant statistic has
+        # drifted by more than this factor since the ACTIVE plan was
+        # built (new > t*old or new < old/t); None = replan at every
+        # point (the reference's UnconditionalPeriodicalAdaptation)
+        self.deviation_threshold = deviation_threshold
+        # "replay" (Trivial rebuild-with-replay) or "simultaneous"
+        # (warm-up swap) — see _WorkerCore.replan
+        self.replan_mode = replan_mode
         # optional load-shedding valve (recall tradeoff — OFF by default;
         # see evaluator.SheddingConfig)
         self.shedding = shedding
+
+    def _stats_deviated(self, snapshot, counts: dict,
+                        cond_totals: dict) -> bool:
+        """True when any relevant arrival share or conjunct selectivity
+        drifted beyond the threshold vs the active plan's snapshot
+        (DeviationAwareTester semantics; shares are scale-free so
+        cumulative counters compare cleanly)."""
+        t = self.deviation_threshold
+        total = sum(counts.values()) or 1
+        old_types, old_conds = snapshot
+        for typ in self.types_needed:
+            new = counts.get(typ, 0) / total
+            old = old_types.get(typ, 0.0)
+            if old == 0.0:
+                if new > 0.0:
+                    return True
+                continue
+            if new > t * old or new < old / t:
+                return True
+        for key, (succ, tot) in cond_totals.items():
+            if tot <= 0:
+                continue
+            new = succ / tot
+            old = old_conds.get(key)
+            if old is None:
+                return True
+            if new > t * old or new < old / t:
+                return True
+        return False
+
+    @staticmethod
+    def _stats_snapshot(counts: dict, cond_totals: dict):
+        total = sum(counts.values()) or 1
+        return ({typ: c / total for typ, c in counts.items()},
+                {key: (succ / tot) for key, (succ, tot)
+                 in cond_totals.items() if tot > 0})
 
     def _recompile_with_counts(self, counts: dict,
                                cond_stats: Optional[dict] = None):
@@ -488,6 +639,8 @@ class StreamingCEP:
         in_flight: List[tuple] = []  # (batch_id, refs, wm_refs, snap_refs)
         last_ck_scheduled = start_after
         n_batches = 0
+        n_replans = 0
+        plan_stats = None  # statistics snapshot behind the active plan
 
         def drain_one():
             batch_id, refs, wm_refs, snap_refs = in_flight.pop(0)
@@ -538,6 +691,8 @@ class StreamingCEP:
                            for w in workers]
             if self.adaptive and \
                     (batch_id + 1) % self.replan_every == 0:
+                # gather current statistics (counts reflect exactly the
+                # batches up to batch_id — actor-queue ordering)
                 # deterministic replan point: counts reflect exactly the
                 # batches up to batch_id (actor-queue ordering), and the
                 # new plan is enqueued before batch_id+1's work.  The
@@ -555,9 +710,18 @@ class StreamingCEP:
                         cur = cond_totals.setdefault(k, [0, 0])
                         cur[0] += succ
                         cur[1] += tot
-                new_compiled = self._recompile_with_counts(totals,
-                                                           cond_totals)
-                ray.get([w.replan.remote(new_compiled) for w in workers])
+                should = self.deviation_threshold is None \
+                    or plan_stats is None \
+                    or self._stats_deviated(plan_stats, totals,
+                                            cond_totals)
+                if should:
+                    new_compiled = self._recompile_with_counts(totals,
+                                                               cond_totals)
+                    ray.get([w.replan.remote(new_compiled,
+                                              self.replan_mode)
+                             for w in workers])
+                    plan_stats = self._stats_snapshot(totals, cond_totals)
+                    n_replans += 1
             snap_refs = None
             if (batch_id - last_ck_scheduled) >= self.checkpoint_every:
                 snap_refs = [w.snapshot.remote() for w in workers]
@@ -579,6 +743,7 @@ class StreamingCEP:
             "total_shed_partials": sum(s.get("shed_partials", 0)
                                        for s in stats),
             "batches": n_batches,
+            "replans": n_replans,
         })
         _atomic_write_json(manifest_path, {
             "checkpoint": None, "eos": True,
@@ -589,6 +754,7 @@ class StreamingCEP:
         for w in workers:
             ray.kill(w)
         return {"batches": n_batches,
+                "replans": n_replans,
                 "rows": sum(s["rows"] for s in stats),
                 "live_conversations": sum(s["live_conversations"]
                                           for s in stats),

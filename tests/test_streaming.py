@@ -235,3 +235,88 @@ def test_bushy_shape_prefers_cheap_pairs():
     flat = repr(shape)
     assert ("(0, 1)" in flat or "(1, 0)" in flat)
     assert ("(2, 3)" in flat or "(3, 2)" in flat)
+
+
+def test_deviation_aware_replan_trigger(ray_session, input_files, tmp_path):
+    """DeviationAwareTester semantics: with a huge threshold only the
+    initial (no-snapshot) replan fires; with a tight threshold on a
+    drift-free stream no further replans fire either; results always
+    match the non-adaptive run."""
+    files, table = input_files
+    base_dir = str(tmp_path / "base")
+    s0 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    s0.run_files(files, base_dir, micro_batch_rows=150)
+    want = canonical(read_matches(base_dir))
+
+    gated_dir = str(tmp_path / "gated")
+    s1 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      adaptive=True, replan_every=2,
+                      tree_builder="greedy", deviation_threshold=1e9)
+    st1 = s1.run_files(files, gated_dir, micro_batch_rows=150)
+    assert st1["replans"] == 1  # first check snapshots + replans once
+    assert canonical(read_matches(gated_dir)) == want
+
+    eager_dir = str(tmp_path / "eager")
+    s2 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      adaptive=True, replan_every=2,
+                      tree_builder="greedy")
+    st2 = s2.run_files(files, eager_dir, micro_batch_rows=150)
+    # unconditional periodic adaptation replans at every point
+    assert st2["replans"] > st1["replans"]
+    assert canonical(read_matches(eager_dir)) == want
+
+
+def test_deviation_trigger_fires_on_drift(ray_session, tmp_path):
+    """A stream whose type mix flips mid-way must trip a tight
+    deviation threshold more than once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from opencep_ray.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(60, 15, seed=5)
+    # drift: first half keeps roles, second half rewrites most
+    # assistant turns to tool turns (arrival-share flip)
+    roles = t["role"].to_pylist()
+    half = len(roles) // 2
+    drifted = roles[:half] + ["tool" if r == "assistant" else r
+                              for r in roles[half:]]
+    t = t.set_column(t.column_names.index("role"), "role",
+                     pa.array(drifted, pa.string()))
+    d = tmp_path / "drift_in"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"))
+    files = [str(d / "part-0.parquet")]
+
+    out1 = str(tmp_path / "out1")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                     adaptive=True, replan_every=2,
+                     tree_builder="greedy", deviation_threshold=1.1)
+    st = s.run_files(files, out1, micro_batch_rows=100)
+    assert st["replans"] >= 2
+
+    # identical results to a non-adaptive run over the same input
+    out2 = str(tmp_path / "out2")
+    s2 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    s2.run_files(files, out2, micro_batch_rows=100)
+    assert canonical(read_matches(out1)) == canonical(read_matches(out2))
+
+
+def test_simultaneous_replan_same_results(ray_session, input_files,
+                                          tmp_path):
+    """The Simultaneous tree-update variant (old plan serves while the
+    new one warms up for one window, then swap) yields the identical
+    match set as replay-based replanning and as no replanning
+    (reference SimultaneousTreeBasedEvaluationMechanism.py:14-92)."""
+    files, table = input_files
+    base_dir = str(tmp_path / "base")
+    s0 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    s0.run_files(files, base_dir, micro_batch_rows=150)
+    want = canonical(read_matches(base_dir))
+
+    sim_dir = str(tmp_path / "simultaneous")
+    s1 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      adaptive=True, replan_every=3,
+                      tree_builder="greedy", replan_mode="simultaneous")
+    st = s1.run_files(files, sim_dir, micro_batch_rows=150)
+    assert st["replans"] >= 1
+    assert canonical(read_matches(sim_dir)) == want
