@@ -284,6 +284,19 @@ class _Prep:
                         pa.int64())
         batch = batch.append_column("_ts_us", ts_us)
 
+        # project to the declared column contract BEFORE the shuffle:
+        # with payload_cols set, conditions/emitters only ever touch
+        # payload_cols ∪ {key, order, prob}, so everything else (e.g. a
+        # wide text column) would be shuffled for nothing
+        if cfg.payload_cols is not None:
+            need = {cfg.key_col, "_type", "_ts_us", *cfg.order_cols,
+                    *cfg.payload_cols}
+            if cfg.prob_col:
+                need.add(cfg.prob_col)
+            keep = [c for c in batch.column_names if c in need]
+            if len(keep) < batch.num_columns:
+                batch = batch.select(keep)
+
         n = batch.num_rows
         ts_np = ts_us.to_numpy() if n else np.empty(0, dtype=np.int64)
         slice_arr = np.full(n, -1, dtype=np.int64)

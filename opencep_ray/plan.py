@@ -75,6 +75,56 @@ def order_greedy(n: int, rates: Sequence[float],
     return order
 
 
+def order_greedy_with_invariants(n: int, rates: Sequence[float],
+                                 sel: Sequence[Sequence[float]]):
+    """Greedy order plus its optimality INVARIANTS — the reference's
+    InvariantAwareGreedyTreeBuilder (plan/invariant/
+    InvariantLeftDeepTreeBuilder.py:49-120, Invariants.py:39-70): at each
+    step the chosen arg must keep a smaller change factor than the
+    runner-up; each invariant is the (chosen, runner_up) index pair.
+    Testing the invariants against fresh statistics decides whether the
+    greedy plan is still optimal WITHOUT recomputing it."""
+    def change_factor(x, prefix):
+        c = rates[x] * sel[x][x]
+        for p in prefix:
+            c *= sel[x][p] * sel[p][x]
+        return c
+
+    remaining = set(range(n))
+    order: List[int] = []
+    invariants: List[tuple] = []
+    while remaining:
+        scored = sorted(((change_factor(j, order), j)
+                         for j in sorted(remaining)))
+        best = scored[0][1]
+        if len(scored) > 1:
+            invariants.append((best, scored[1][1]))
+        order.append(best)
+        remaining.remove(best)
+    return order, invariants
+
+
+def greedy_invariants_violated(invariants: Sequence[tuple],
+                               rates: Sequence[float],
+                               sel: Sequence[Sequence[float]]) -> bool:
+    """True when fresh statistics break any stored invariant
+    (GreedyTreeInvariants.is_invariants_violated, Invariants.py:39-70):
+    the i-th step's chosen arg no longer beats its runner-up given the
+    already-chosen prefix."""
+    prefix: List[int] = []
+    for chosen, runner in invariants:
+        def cf(x):
+            c = rates[x] * sel[x][x]
+            for p in prefix:
+                c *= sel[x][p] * sel[p][x]
+            return c
+
+        if cf(chosen) > cf(runner):
+            return True
+        prefix.append(chosen)
+    return False
+
+
 def order_dynamic_programming(n: int, rates: Sequence[float],
                               sel: Sequence[Sequence[float]]) -> List[int]:
     """Exact min-cost left-deep order by DP over subsets

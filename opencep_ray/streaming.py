@@ -428,7 +428,8 @@ class StreamingCEP:
                  adaptive: bool = False, replan_every: int = 16,
                  tree_builder: str = "greedy", shedding=None,
                  deviation_threshold: Optional[float] = None,
-                 replan_mode: str = "replay"):
+                 replan_mode: str = "replay",
+                 invariant_aware: bool = False):
         from .pattern import Pattern
         self.cfg = cfg or EngineConfig()
         self._patterns = [patterns] if isinstance(patterns, Pattern) \
@@ -457,6 +458,11 @@ class StreamingCEP:
         # "replay" (Trivial rebuild-with-replay) or "simultaneous"
         # (warm-up swap) — see _WorkerCore.replan
         self.replan_mode = replan_mode
+        # invariant-aware trigger (reference plan/invariant/*): the
+        # greedy plan records its optimality invariants; a replan point
+        # only fires when fresh statistics VIOLATE one — the cheapest
+        # "is my plan still right" test
+        self.invariant_aware = invariant_aware
         # optional load-shedding valve (recall tradeoff — OFF by default;
         # see evaluator.SheddingConfig)
         self.shedding = shedding
@@ -497,11 +503,10 @@ class StreamingCEP:
                 {key: (succ / tot) for key, (succ, tot)
                  in cond_totals.items() if tot > 0})
 
-    def _recompile_with_counts(self, counts: dict,
-                               cond_stats: Optional[dict] = None):
-        """Builds per-pattern arrival-rate + pairwise-selectivity
-        statistics from observed counters and recompiles with the
-        configured order builder (SelectivityStatistics analog,
+    def _pattern_statistics(self, counts: dict,
+                            cond_stats: Optional[dict] = None):
+        """Per-pattern (pattern, rates, selectivity-matrix) from observed
+        counters (SelectivityStatistics analog,
         adaptive/statistics/Statistics.py:103-181)."""
         from .pattern import Composite, Neg, Primitive, Kleene
 
@@ -521,6 +526,7 @@ class StreamingCEP:
         for cp in self.compiled:
             conj_names.update(cp.conjunct_names)
 
+        out = []
         for p in self._patterns:
             s = p.structure
             if not isinstance(s, Composite):
@@ -547,12 +553,44 @@ class StreamingCEP:
                     elif len(touched) == 2:
                         i, j = touched
                         sel[i][j] *= s_hat
+            out.append((p, rates, sel))
+        return out
+
+    def _recompile_with_counts(self, counts: dict,
+                               cond_stats: Optional[dict] = None):
+        """Builds per-pattern statistics from observed counters and
+        recompiles with the configured order builder."""
+        for p, rates, sel in self._pattern_statistics(counts, cond_stats):
             p.statistics = {"arrival_rates": rates,
                             "selectivity_matrix": sel,
                             # feeds StatisticNegationAlgorithm ordering
                             "type_counts": dict(counts)}
         return compile_patterns(self._patterns,
                                 tree_builder=self.tree_builder)
+
+    def _plan_invariants(self, counts: dict,
+                         cond_stats: Optional[dict] = None):
+        """Greedy-plan optimality invariants for every multi-arg pattern
+        (InvariantAwareGreedyTreeBuilder analog)."""
+        from .plan import order_greedy_with_invariants
+        out = []
+        for p, rates, sel in self._pattern_statistics(counts, cond_stats):
+            if len(rates) > 1:
+                _, inv = order_greedy_with_invariants(len(rates), rates,
+                                                      sel)
+                out.append(inv)
+        return out
+
+    def _invariants_violated(self, invariants, counts: dict,
+                             cond_stats: Optional[dict] = None) -> bool:
+        from .plan import greedy_invariants_violated
+        stats = [(rates, sel) for _p, rates, sel
+                 in self._pattern_statistics(counts, cond_stats)
+                 if len(rates) > 1]
+        for inv, (rates, sel) in zip(invariants, stats):
+            if greedy_invariants_violated(inv, rates, sel):
+                return True
+        return False
 
     # -- source -------------------------------------------------------------
     def _micro_batch_plan(self, files: Sequence[str],
@@ -641,6 +679,7 @@ class StreamingCEP:
         n_batches = 0
         n_replans = 0
         plan_stats = None  # statistics snapshot behind the active plan
+        plan_invariants = None  # greedy invariants behind the active plan
 
         def drain_one():
             batch_id, refs, wm_refs, snap_refs = in_flight.pop(0)
@@ -710,10 +749,15 @@ class StreamingCEP:
                         cur = cond_totals.setdefault(k, [0, 0])
                         cur[0] += succ
                         cur[1] += tot
-                should = self.deviation_threshold is None \
-                    or plan_stats is None \
-                    or self._stats_deviated(plan_stats, totals,
-                                            cond_totals)
+                if self.invariant_aware:
+                    should = plan_stats is None \
+                        or self._invariants_violated(plan_invariants,
+                                                     totals, cond_totals)
+                else:
+                    should = self.deviation_threshold is None \
+                        or plan_stats is None \
+                        or self._stats_deviated(plan_stats, totals,
+                                                cond_totals)
                 if should:
                     new_compiled = self._recompile_with_counts(totals,
                                                                cond_totals)
@@ -721,6 +765,9 @@ class StreamingCEP:
                                               self.replan_mode)
                              for w in workers])
                     plan_stats = self._stats_snapshot(totals, cond_totals)
+                    if self.invariant_aware:
+                        plan_invariants = self._plan_invariants(
+                            totals, cond_totals)
                     n_replans += 1
             snap_refs = None
             if (batch_id - last_ck_scheduled) >= self.checkpoint_every:

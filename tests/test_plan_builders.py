@@ -106,3 +106,24 @@ def test_choose_order_new_builders():
                          builder="iterative_improvement")
     assert sorted(order) == [0, 1, 2, 3]
     assert bushy_shape(1, [1.0], [[1.0]]) == 0
+
+
+def test_greedy_invariants_hold_for_generating_stats():
+    from opencep_ray.plan import (greedy_invariants_violated,
+                                  order_greedy, order_greedy_with_invariants)
+    order, inv = order_greedy_with_invariants(4, RATES, SEL)
+    assert order == order_greedy(4, RATES, SEL)
+    assert len(inv) == 3
+    # the statistics that produced the plan can never violate it
+    assert not greedy_invariants_violated(inv, RATES, SEL)
+
+
+def test_greedy_invariants_violated_on_rate_flip():
+    from opencep_ray.plan import (greedy_invariants_violated,
+                                  order_greedy_with_invariants)
+    order, inv = order_greedy_with_invariants(4, RATES, SEL)
+    # make the first-chosen arg massively more frequent than its
+    # runner-up: the first invariant must break
+    flipped = list(RATES)
+    flipped[order[0]] = 1e9
+    assert greedy_invariants_violated(inv, flipped, SEL)

@@ -320,3 +320,25 @@ def test_simultaneous_replan_same_results(ray_session, input_files,
     st = s1.run_files(files, sim_dir, micro_batch_rows=150)
     assert st["replans"] >= 1
     assert canonical(read_matches(sim_dir)) == want
+
+
+def test_invariant_aware_replan_trigger(ray_session, input_files, tmp_path):
+    """Invariant-aware optimizer (reference plan/invariant/*): the greedy
+    plan's optimality invariants gate replans — on a drift-free stream
+    only the initial plan build fires; results match non-adaptive."""
+    files, table = input_files
+    base_dir = str(tmp_path / "base")
+    s0 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    s0.run_files(files, base_dir, micro_batch_rows=150)
+    want = canonical(read_matches(base_dir))
+
+    inv_dir = str(tmp_path / "inv")
+    s1 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      adaptive=True, replan_every=2,
+                      tree_builder="greedy", invariant_aware=True)
+    st = s1.run_files(files, inv_dir, micro_batch_rows=150)
+    assert canonical(read_matches(inv_dir)) == want
+    # stationary stream: the greedy invariants keep holding, so the
+    # trigger fires far fewer times than the unconditional cadence
+    n_points = st["batches"] // 2
+    assert 1 <= st["replans"] < n_points
