@@ -55,7 +55,11 @@ class _BatchTopK:
     actor from the object store)."""
 
     def __init__(self, query_ref, k: int, id_col: str, vec_col: str):
-        q = ray.get(query_ref)
+        # accepts the query payload inline (small query sets — avoids
+        # object-store constructor args, which break actor restarts) or
+        # as an ObjectRef for large broadcast query matrices
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) \
+            else query_ref
         self.q_ids = q["ids"]
         self.q_unit = _unit_rows(np.asarray(q["vecs"], dtype=np.float64))
         self.k = k
@@ -103,10 +107,12 @@ def ann_brute_force(ds: Dataset, query_ids, query_vecs, k: int = 10,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> Dataset:
     """Exact cosine top-k of each query vector against the corpus.
-    Ties broken by smaller neighbor id (deterministic)."""
-    ref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+    Ties broken by smaller neighbor id (deterministic).  The query matrix
+    ships inline in the actor constructor (broadcast once per actor); use
+    ``ray.put`` and pass the ref yourself for very large query sets."""
+    q = {"ids": list(query_ids), "vecs": query_vecs}
     local = ds.map_batches(_BatchTopK, batch_format="pyarrow",
-                           fn_constructor_args=(ref, k, id_col, vec_col),
+                           fn_constructor_args=(q, k, id_col, vec_col),
                            concurrency=(1, 8))
     return local.groupby("q_id", num_partitions=8).map_groups(
         _GlobalTopK(k), batch_format="pyarrow")
@@ -141,7 +147,8 @@ def build_ivf_index(ds: Dataset, n_centroids: int = 16,
 
 class _AssignCentroid:
     def __init__(self, cents_ref, id_col: str, vec_col: str):
-        self.cents = ray.get(cents_ref)
+        self.cents = ray.get(cents_ref) \
+            if isinstance(cents_ref, ray.ObjectRef) else cents_ref
         self.id_col = id_col
         self.vec_col = vec_col
 
@@ -158,23 +165,20 @@ def ann_ivf(ds: Dataset, query_ids, query_vecs, k: int = 10,
     """IVF ANN: vectors bucketed by nearest centroid; each query only scans
     the ``nprobe`` closest buckets."""
     cents = build_ivf_index(ds, n_centroids, id_col=id_col, vec_col=vec_col)
-    cents_ref = ray.put(cents)
     assigned = ds.map_batches(_AssignCentroid, batch_format="pyarrow",
-                              fn_constructor_args=(cents_ref, id_col,
-                                                   vec_col),
+                              fn_constructor_args=(cents, id_col, vec_col),
                               concurrency=(1, 8))
     q_unit = _unit_rows(np.asarray(query_vecs, dtype=np.float64))
     probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
     # per query: restrict the corpus to probed centroids
     allowed = {int(q): set(int(c) for c in probe[i])
                for i, q in enumerate(query_ids)}
-    allowed_ref = ray.put(allowed)
-    ref = ray.put({"ids": list(query_ids), "vecs": query_vecs})
+    q_payload = {"ids": list(query_ids), "vecs": query_vecs}
 
     class _ProbedTopK(_BatchTopK):
         def __init__(self):
-            super().__init__(ref, k, id_col, vec_col)
-            self.allowed = ray.get(allowed_ref)
+            super().__init__(q_payload, k, id_col, vec_col)
+            self.allowed = allowed
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             cents_b = batch["centroid"].to_numpy(zero_copy_only=False)
