@@ -25,10 +25,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     the training-data stages (windows, dedup, text, ANN, multimodal,
     relational)."""
     from opencep_ray.pipelines.queries import (QUERIES,
+                                               ensure_ivf_tables,
                                                ensure_signature_tables,
                                                ensure_transcripts)
     ensure_transcripts()
     ensure_signature_tables()
+    ensure_ivf_tables()
     return dict(QUERIES)
 
 
@@ -37,12 +39,14 @@ def oracle_sql() -> dict[str, str]:
     ``events documents embeddings lineitem orders customer`` are
     pre-registered; the canonical transcripts table and the deterministic
     signature tables behind the minhash/simhash oracles are parquet files
-    under /tmp read via ``read_parquet``).  Keys missing here (IVF-ANN,
-    multimodal stubs) are non-SQL-expressible and get the driver's
-    rows-only check; their exactness is covered in tests/."""
+    under /tmp read via ``read_parquet``).  The one key missing here
+    (multimodal decode, an environment stub by design) gets the driver's
+    rows-only check."""
     from opencep_ray.pipelines.queries import (ORACLES,
+                                               ensure_ivf_tables,
                                                ensure_signature_tables,
                                                ensure_transcripts)
     ensure_transcripts()
     ensure_signature_tables()
+    ensure_ivf_tables()
     return dict(ORACLES)

@@ -720,13 +720,100 @@ SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
 """
 
 
+
+
+IVF_ASSIGN_PATH = "/tmp/graft_synth/ivf_assign_current.parquet"
+IVF_PROBE_PATH = "/tmp/graft_synth/ivf_probe_current.parquet"
+_IVF_MARKER = "/tmp/graft_synth/ivf_source.txt"
+
+
+def ensure_ivf_tables(sf_dir: str = AUX_SF_DIR):
+    """Deterministic IVF auxiliary tables for the ``ann_ivf`` oracle:
+    per-vector centroid assignment and per-query probed centroids,
+    computed by the same deterministic k-means the Ray pipeline uses
+    (fixed seed, sample = first 2048 rows).  The SQL side independently
+    verifies the probed-bucket restriction, cosine ranking and top-k
+    selection — the distributed parts of the pipeline."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ..stages.ann import _unit_rows, list_col_to_numpy
+    if os.path.exists(_IVF_MARKER) and os.path.exists(IVF_ASSIGN_PATH) \
+            and os.path.exists(IVF_PROBE_PATH) \
+            and open(_IVF_MARKER).read() == sf_dir:
+        return IVF_ASSIGN_PATH, IVF_PROBE_PATH
+    os.makedirs("/tmp/graft_synth", exist_ok=True)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = list_col_to_numpy(emb["embedding"])
+    unit = _unit_rows(mat.copy())
+    # mirror build_ivf_index(n_centroids=8, sample_size=2048, seed=11)
+    sample = unit[:2048]
+    rng = np.random.RandomState(11)
+    cents = sample[rng.choice(len(sample), size=min(8, len(sample)),
+                              replace=False)].copy()
+    for _ in range(10):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    assign_all = np.argmax(unit @ cents.T, axis=1)
+    qmask = ids < 8
+    q_unit = _unit_rows(mat[qmask].copy())
+    probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :4]
+    assign_t = pa.table({
+        "vec_id": pa.array(ids),
+        "centroid": pa.array(assign_all.astype(np.int32))})
+    q_ids = ids[qmask]
+    probe_t = pa.table({
+        "q_id": pa.array(np.repeat(q_ids, probe.shape[1])),
+        "centroid": pa.array(probe.reshape(-1).astype(np.int32))})
+    tmp = IVF_ASSIGN_PATH + ".tmp"
+    pq.write_table(assign_t, tmp)
+    os.rename(tmp, IVF_ASSIGN_PATH)
+    tmp = IVF_PROBE_PATH + ".tmp"
+    pq.write_table(probe_t, tmp)
+    os.rename(tmp, IVF_PROBE_PATH)
+    with open(_IVF_MARKER + ".tmp", "w") as f:
+        f.write(sf_dir)
+    os.rename(_IVF_MARKER + ".tmp", _IVF_MARKER)
+    return IVF_ASSIGN_PATH, IVF_PROBE_PATH
+
+
 def ann_ivf_q(sf_dir):
     from ..stages.ann import ann_ivf
+    ensure_ivf_tables(sf_dir)
     emb = _embeddings(sf_dir)
     q = emb.filter(expr="vec_id < 8").to_pandas()
     out = ann_ivf(emb, q["vec_id"].tolist(), q["embedding"].tolist(), k=5,
                   n_centroids=8, nprobe=4)
     return out.select_columns(["q_id", "nn_rank", "neighbor_id"])
+
+
+ANN_IVF_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+allowed AS (
+  SELECT p.q_id, a.vec_id
+  FROM read_parquet('/tmp/graft_synth/ivf_probe_current.parquet') p
+  JOIN read_parquet('/tmp/graft_synth/ivf_assign_current.parquet') a
+    ON a.centroid = p.centroid),
+sims AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q JOIN allowed al ON al.q_id = q.q_id
+  JOIN embeddings e ON e.vec_id = al.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id)
+           AS nn_rank
+  FROM sims)
+SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
+"""
 
 
 def multimodal_decode(sf_dir):
@@ -894,6 +981,7 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
 }

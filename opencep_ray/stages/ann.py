@@ -107,13 +107,18 @@ def ann_brute_force(ds: Dataset, query_ids, query_vecs, k: int = 10,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> Dataset:
     """Exact cosine top-k of each query vector against the corpus.
-    Ties broken by smaller neighbor id (deterministic).  The query matrix
-    ships inline in the actor constructor (broadcast once per actor); use
-    ``ray.put`` and pass the ref yourself for very large query sets."""
+    Ties broken by smaller neighbor id (deterministic).  Small query sets
+    ship inline with a plain task-pool transform (no actor startup cost);
+    larger ones run as an actor pool with the matrix broadcast once per
+    actor (pass a ``ray.put`` ref for very large sets)."""
     q = {"ids": list(query_ids), "vecs": query_vecs}
-    local = ds.map_batches(_BatchTopK, batch_format="pyarrow",
-                           fn_constructor_args=(q, k, id_col, vec_col),
-                           concurrency=(1, 8))
+    if len(q["ids"]) <= 64:
+        local = ds.map_batches(_BatchTopK(q, k, id_col, vec_col),
+                               batch_format="pyarrow")
+    else:
+        local = ds.map_batches(_BatchTopK, batch_format="pyarrow",
+                               fn_constructor_args=(q, k, id_col, vec_col),
+                               concurrency=(1, 8))
     return local.groupby("q_id", num_partitions=8).map_groups(
         _GlobalTopK(k), batch_format="pyarrow")
 
@@ -147,8 +152,9 @@ def build_ivf_index(ds: Dataset, n_centroids: int = 16,
 
 class _AssignCentroid:
     def __init__(self, cents_ref, id_col: str, vec_col: str):
-        self.cents = ray.get(cents_ref) \
+        cents = ray.get(cents_ref) \
             if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        self.cents = np.asarray(cents, dtype=np.float64)
         self.id_col = id_col
         self.vec_col = vec_col
 
@@ -165,8 +171,11 @@ def ann_ivf(ds: Dataset, query_ids, query_vecs, k: int = 10,
     """IVF ANN: vectors bucketed by nearest centroid; each query only scans
     the ``nprobe`` closest buckets."""
     cents = build_ivf_index(ds, n_centroids, id_col=id_col, vec_col=vec_col)
+    # plain-list constructor arg: numpy args would be auto-put into the
+    # object store, which breaks actor restarts (ray#53727)
     assigned = ds.map_batches(_AssignCentroid, batch_format="pyarrow",
-                              fn_constructor_args=(cents, id_col, vec_col),
+                              fn_constructor_args=(cents.tolist(), id_col,
+                                                   vec_col),
                               concurrency=(1, 8))
     q_unit = _unit_rows(np.asarray(query_vecs, dtype=np.float64))
     probe = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]

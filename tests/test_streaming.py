@@ -342,3 +342,47 @@ def test_invariant_aware_replan_trigger(ray_session, input_files, tmp_path):
     # trigger fires far fewer times than the unconditional cadence
     n_points = st["batches"] // 2
     assert 1 <= st["replans"] < n_points
+
+
+def test_resume_byte_identical_adaptive(ray_session, input_files, tmp_path):
+    """Replan points are a pure function of the ABSOLUTE batch id, so a
+    resumed ADAPTIVE run replays the identical replan schedule and
+    reproduces byte-identical part files (a checkpoint-relative schedule
+    would reorder re-written rows — ADVICE r1)."""
+    import hashlib
+    files, table = input_files
+
+    def mk():
+        return StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                            checkpoint_every=2, adaptive=True,
+                            replan_every=3, tree_builder="greedy")
+
+    full_dir = str(tmp_path / "full")
+    mk().run_files(files, full_dir, micro_batch_rows=150)
+    full = canonical(read_matches(full_dir))
+
+    crash_dir = str(tmp_path / "crash")
+
+    class CrashingStream(StreamingCEP):
+        def _micro_batch_plan(self, files_, rows):
+            for item in super()._micro_batch_plan(files_, rows):
+                if item[0] >= 7:
+                    raise RuntimeError("simulated crash")
+                yield item
+
+    s2 = CrashingStream(PATTERNS, transcript_config(), num_workers=3,
+                        checkpoint_every=2, adaptive=True,
+                        replan_every=3, tree_builder="greedy")
+    with pytest.raises(RuntimeError):
+        s2.run_files(files, crash_dir, micro_batch_rows=150)
+    mk().run_files(files, crash_dir, micro_batch_rows=150, resume=True)
+    assert canonical(read_matches(crash_dir)) == full
+
+    def digest(d):
+        out = {}
+        for p in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
+            out[os.path.basename(p)] = hashlib.sha256(
+                open(p, "rb").read()).hexdigest()
+        return out
+
+    assert digest(crash_dir) == digest(full_dir)
