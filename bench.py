@@ -154,9 +154,19 @@ BENCH_QUERIES = {
 
 def run_bench() -> dict:
     import ray
+    # size the object store to Ray Data's recommended 50% of memory
+    # (silences the resource_manager advisory and helps spill behavior)
+    try:
+        mem_kb = next(int(line.split()[1])
+                      for line in open("/proc/meminfo")
+                      if line.startswith("MemTotal:"))
+        store_bytes = int(mem_kb * 1024 * 0.5)
+    except (OSError, StopIteration):
+        store_bytes = None
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, ignore_reinit_error=True,
+                 object_store_memory=store_bytes,
                  logging_level="ERROR")
     from ray.data import DataContext
     ctx = DataContext.get_current()
