@@ -430,6 +430,7 @@ class CompiledPattern:
 
         stats = statistics if statistics is not None \
             else getattr(pattern, "statistics", None)
+        self.statistics = stats  # retained for sharing cost models
         if tree_builder in ("bushy", "zstream", "zstream_ord") \
                 and len(pos_args) > 2:
             from .plan import choose_shape
@@ -846,7 +847,8 @@ class ConversationEvaluator:
         if shedding is not None and shedding.strategy == "random":
             import random as _random
             self._shed_rng = _random.Random(shedding.seed)
-        self.share = share if (share in ("leaves", "subtrees")
+        self.share = share if (share in ("leaves", "subtrees",
+                                         "local_search")
                                and len(compiled) > 1
                                and all(getattr(cp, "shareable", False)
                                        for cp in compiled)) else None
@@ -854,7 +856,19 @@ class ConversationEvaluator:
         self._shared: Dict[tuple, dict] = {}
         self._minis: List[dict] = []
         self._trees = [self._instantiate(cp) for cp in compiled]
-        self._all_trees = self._minis + self._trees
+        # per-event delivery order must match the reference's leaf order
+        # (positive leaves before negative leaves — NegationNode stacks on
+        # top of the positive tree and get_leaves is left-first): shared
+        # NEGATIVE leaves process after every pattern tree, so a bounded
+        # negative that shares an event with the completing positive is
+        # not yet buffered at completion time
+        def _is_negative_mini(m):
+            spec = m["owner_spec"]
+            return spec.kind == _NodeSpec.KIND_LEAF and spec.leaf.negative
+
+        pos_minis = [m for m in self._minis if not _is_negative_mini(m)]
+        neg_minis = [m for m in self._minis if _is_negative_mini(m)]
+        self._all_trees = pos_minis + self._trees + neg_minis
         # optional in-window event history, enabling replan-with-replay
         # (the reference's tree-swap replay trick,
         # tree/evaluation/TrivialTreeBasedEvaluationMechnism.py:30-55)
@@ -882,7 +896,13 @@ class ConversationEvaluator:
                     continue
                 seen.add(sig)
                 counts[sig] = counts.get(sig, 0) + 1
-        return frozenset(sig for sig, c in counts.items() if c >= 2)
+        candidates = frozenset(sig for sig, c in counts.items() if c >= 2)
+        if self.share == "local_search" and candidates:
+            # cost-driven merge selection (reference
+            # plan/multi/local_search/LocalSearch.py:15-180)
+            from .local_search import choose_shared_sigs
+            return choose_shared_sigs(compiled, candidates)
+        return candidates
 
     def _instantiate(self, cp: CompiledPattern):
         tree = {"cp": cp, "root": None, "routes": {}, "leaf_nodes": {},
@@ -942,10 +962,11 @@ class ConversationEvaluator:
         for i, ch_spec in enumerate(spec.children):
             ref = self._inst_spec(ch_spec, cp, tree)
             if isinstance(ref, _RTNode):
-                ref.sinks.append(("up", tree, node, i, None))
+                ref.sinks.append(("up", tree, node, i, None, None))
             else:
                 _, mini, remap, _cs = ref
-                mini["root"].sinks.append(("up", tree, node, i, remap))
+                mini["root"].sinks.append(
+                    ("up", tree, node, i, remap, True))
                 self._attach_mini(tree, mini, tree["cp"].window_us,
                                   tree["cp"].confidence)
         return node
@@ -1197,8 +1218,17 @@ class ConversationEvaluator:
                         continue
                 self._accept_output(tree, out_pm)
                 continue
-            _, tree, parent, side, remap = sink
+            _, tree, parent, side, remap, check = sink
             up_pm = pm if remap is None else _remap_pm(pm, remap)
+            if check and \
+                    up_pm.last_ts - up_pm.first_ts > tree["cp"].window_us:
+                # a shared mini runs at the least-restrictive window; the
+                # consumer's own window must re-filter here because not
+                # every parent kind re-validates (negation nodes pass
+                # positives through).  Read the CURRENT window: when the
+                # consumer is itself a mini, its view may have been
+                # relaxed after this sink was wired
+                continue
             kind = parent.spec.kind
             if kind == _NodeSpec.KIND_JOIN:
                 self._join_on_child(tree, parent, up_pm, side)

@@ -229,7 +229,12 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
             for e in evs:
                 if e.type != neg_prim.event_type or e.idx in used_idx:
                     continue
-                if bounded and e.idx > completion_idx:
+                if bounded and e.idx >= completion_idx:
+                    # arrived after the completing positive — the reference
+                    # dispatches an event to positive leaves BEFORE negative
+                    # leaves (get_leaves is left-first; NegationNode stacks on
+                    # top), so a negative that IS the completing event never
+                    # invalidates (tree/nodes/NegationNode.py:145-147)
                     continue
                 if not passes_filters(neg_prim.name, e.payload):
                     continue

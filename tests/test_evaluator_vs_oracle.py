@@ -529,3 +529,33 @@ def test_statistic_negation_ordering_invariant():
                   for cp, pm in ev.matches), key=repr)
     assert got == base
     assert got == run_oracle(p, events)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_negative_type_equals_kc_type(seed):
+    """Fuzz-found edge: the negated type equals the Kleene child type, so
+    one event can be both the completing KC item and a candidate
+    negative.  Reference leaf order (positive leaves first) means the
+    same-event negative arrives after completion and never invalidates."""
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("user", "b"),
+                    Neg(Primitive("assistant", "x")),
+                    Kleene(Primitive("assistant", "k"), max_size=1)),
+                window=8)
+    check(p, gen_stream(seed + 3000, n=14))
+
+
+def test_same_event_negative_does_not_invalidate_completion():
+    """Directed version of the fuzz repro: assistant@13 completes the KC
+    and is simultaneously a window/order-compatible negative; the match
+    must survive (bounded negative arrives after completion)."""
+    events = [({"v": 0, "turn": 0, "text": "t"}, "user", 5 * SEC),
+              ({"v": 1, "turn": 1, "text": "t"}, "user", 5 * SEC),
+              ({"v": 2, "turn": 2, "text": "t"}, "assistant", 13 * SEC)]
+    p = Pattern(Seq(Primitive("user", "a"), Primitive("user", "b"),
+                    Neg(Primitive("assistant", "x")),
+                    Kleene(Primitive("assistant", "k"), max_size=1)),
+                window=8)
+    got = run_evaluator(p, events)
+    assert ((0, ((0,), (1,), (2,)), None) in got
+            and (0, ((1,), (0,), (2,)), None) in got)
+    assert run_oracle(p, events) == got

@@ -204,3 +204,66 @@ def test_shared_evaluates_leaf_conditions_once():
     run(pats, events, share=None)
     unshared_calls = len(calls)
     assert shared_calls < unshared_calls
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_local_search_share_invariance(seed):
+    """Local-search merge selection (reference plan/multi/local_search):
+    whatever subset of merges it picks, match sets are identical."""
+    base, _ = run(FLAGSHIP, gen_stream(seed + 200, n=25), share=None)
+    got, ev = run(FLAGSHIP, gen_stream(seed + 200, n=25),
+                  share="local_search")
+    assert got == base
+    # the chosen configuration is a subset of the subtrees-mode one
+    _, ev_all = run(FLAGSHIP, gen_stream(seed + 200, n=25),
+                    share="subtrees")
+    assert ev._shared_sigs <= ev_all._shared_sigs
+
+
+def test_local_search_skips_bare_leaves_shares_conditioned_joins():
+    """The calibrated cost model: a condition-less leaf is NOT worth the
+    per-sink remap, a conditioned join subtree IS."""
+    cond = GreaterThanCondition(Col("b", "v"), Col("a", "v"))
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                cond, window=10, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Primitive("tool", "c")), cond, window=12, pattern_id=2),
+        Pattern(Seq(Primitive("user", "a"), Primitive("tool", "x")),
+                window=10, pattern_id=3),
+    ]
+    base, _ = run(pats, gen_stream(9, n=25), share=None)
+    got, ev = run(pats, gen_stream(9, n=25), share="local_search")
+    assert got == base
+    kinds = {sig[0] for sig in ev._shared_sigs}
+    # the shared SEQ(a,b)+condition join survives the search
+    assert "join" in kinds
+
+
+def test_local_search_deterministic():
+    _, ev1 = run(FLAGSHIP, gen_stream(4, n=15), share="local_search")
+    _, ev2 = run(FLAGSHIP, gen_stream(4, n=15), share="local_search")
+    assert ev1._shared_sigs == ev2._shared_sigs
+
+
+def test_nested_mini_window_bump_propagates_to_inner_sinks():
+    """Fuzz-found: a mini consumed by another mini wires its sink while
+    the outer mini still has the FIRST pattern's window; a later consumer
+    relaxes the outer window, and the inner sink's window check must see
+    the relaxed value or valid pairs get dropped."""
+    pats = [
+        Pattern(Seq(Primitive("tool", "e0"), Primitive("tool", "e1"),
+                    Neg(Primitive("tool", "neg0")), Primitive("user", "e2")),
+                window=5, pattern_id=0),
+        Pattern(Seq(Primitive("tool", "e0"), Neg(Primitive("user", "neg0")),
+                    Primitive("tool", "e1"), Primitive("user", "e2")),
+                window=12, pattern_id=1),
+    ]
+    events = [({"v": 0, "turn": 0}, "tool", 9 * SEC),
+              ({"v": 0, "turn": 1}, "tool", 16 * SEC),
+              ({"v": 9, "turn": 2}, "user", 16 * SEC)]
+    base, _ = run(pats, events, share=None)
+    assert (1, ((0,), (1,), (2,)), None) in base
+    for mode in ("leaves", "subtrees", "local_search"):
+        got, _ = run(pats, events, share=mode)
+        assert got == base, mode
