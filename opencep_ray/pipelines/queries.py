@@ -64,9 +64,10 @@ def ensure_signature_tables(sf_dir: str = AUX_SF_DIR):
     bucketing, pair generation, dedup and aggregation — which is where
     the distributed logic lives."""
     import pyarrow.parquet as pq
+    marker = f"{sf_dir}|v2"  # v2: vectorized polars-hash shingle family
     if os.path.exists(_SIG_MARKER) and os.path.exists(SIMHASH_SIG_PATH) \
             and os.path.exists(MINHASH_BANDS_PATH) \
-            and open(_SIG_MARKER).read() == sf_dir:
+            and open(_SIG_MARKER).read() == marker:
         return SIMHASH_SIG_PATH, MINHASH_BANDS_PATH
     os.makedirs("/tmp/graft_synth", exist_ok=True)
     from ..stages.dedup import (MinHashSignatures, SimHashSignatures,
@@ -84,7 +85,7 @@ def ensure_signature_tables(sf_dir: str = AUX_SF_DIR):
     pq.write_table(bands, tmp)
     os.rename(tmp, MINHASH_BANDS_PATH)
     with open(_SIG_MARKER + ".tmp", "w") as f:
-        f.write(sf_dir)
+        f.write(marker)
     os.rename(_SIG_MARKER + ".tmp", _SIG_MARKER)
     return SIMHASH_SIG_PATH, MINHASH_BANDS_PATH
 

@@ -118,7 +118,11 @@ def exact_dedup_rows(ds: Dataset, col: str = "text",
 
 
 class MinHashSignatures:
-    """Per-batch MinHash signatures over word-``shingle_k``-gram shingles.
+    """Per-batch MinHash signatures over word-``shingle_k``-gram shingles,
+    fully vectorized: token split + k-gram construction + 64-bit shingle
+    hashing run in polars over the whole batch, permutations as one numpy
+    broadcast, per-document minima via ``np.minimum.reduceat`` — no
+    per-document Python loop in the hot path.
 
     Stateful stage: permutation parameters generated once per actor from a
     fixed seed (identical on every actor)."""
@@ -133,36 +137,65 @@ class MinHashSignatures:
         self.num_perm = num_perm
         self.shingle_k = shingle_k
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
-        toks = text.split(" ")
+    def _gram_hashes(self, texts) -> tuple:
+        """(doc_index array, 30-bit shingle-hash array), deduped per doc,
+        sorted by doc.  Documents shorter than ``shingle_k`` tokens use
+        the whole text as their single shingle (one gram per such doc)."""
+        import polars as pl
         k = self.shingle_k
-        if len(toks) < k:
-            grams = [text]
+        df = pl.DataFrame({
+            "d": pl.Series(np.arange(len(texts), dtype=np.int64)),
+            "text": pl.Series([t or "" for t in texts]),
+        })
+        ex = (df.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .select("d", "text", "t").explode("t"))
+        if k > 1:
+            shifted = [pl.col("t").shift(-i).over("d").alias(f"_s{i}")
+                       for i in range(1, k)]
+            ex = ex.with_columns(shifted)
+            gram = pl.concat_str(
+                [pl.col("t")] + [pl.col(f"_s{i}") for i in range(1, k)],
+                separator=" ")
         else:
-            grams = [" ".join(toks[i:i + k])
-                     for i in range(len(toks) - k + 1)]
+            gram = pl.col("t")
+        # short docs (< k tokens): every shifted gram is null → fall back
+        # to the whole text as the single shingle
+        n_tok = pl.col("t").count().over("d")
+        gram = pl.when(n_tok < k).then(pl.col("text")).otherwise(gram)
+        ex = (ex.with_columns(gram.alias("g")).drop_nulls("g")
+              .unique(subset=["d", "g"]).sort("d"))
         # 30-bit shingle hashes: a·h fits int64 under the 2^31−1 modulus
-        out = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                            .digest(), "little") >> 34 for g in set(grams)),
-            dtype=np.int64)
-        return out
+        h = (ex["g"].hash(seed=13).to_numpy() >> np.uint64(34)) \
+            .astype(np.int64)
+        return ex["d"].to_numpy(), h
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        _, h = self._gram_hashes([text])
+        return h
 
     def signature(self, text: str) -> np.ndarray:
-        h = self.shingle_hashes(text)
-        if len(h) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) permuted hashes → row-wise min; every
+        return self.signatures([text])[0]
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a text batch."""
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        docs, h = self._gram_hashes(texts)
+        # (num_perm, n_shingles) permuted hashes → per-doc minima; every
         # intermediate stays < 2^61, no int64 wraparound
         m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
-        return m.min(axis=1).astype(np.uint64)
+        starts = np.searchsorted(docs, np.arange(n))
+        # empty docs cannot occur (short docs contribute one gram), but a
+        # defensive clip keeps reduceat well-defined on ragged tails
+        starts = np.clip(starts, 0, max(len(h) - 1, 0))
+        sig = np.minimum.reduceat(m, starts, axis=1).T
+        return sig.astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sigs = np.stack([self.signature(t or "")
-                         for t in batch[self.col].to_pylist()])
+        sigs = self.signatures(batch[self.col].to_pylist())
         return pa.table({
-            self.id_col: pa.array(ids),
+            self.id_col: batch[self.id_col],
             "signature": pa.array(list(sigs), pa.list_(pa.uint64())),
         })
 
@@ -397,31 +430,43 @@ def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
 
 
 class SimHashSignatures:
-    """64-bit SimHash per document from token hashes, vectorized per doc."""
+    """64-bit SimHash per document from token hashes — fully vectorized:
+    one polars token explode + hash over the batch, bit matrix and
+    per-document sign sums as numpy segment reductions."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id"):
         self.col = col
         self.id_col = id_col
 
-    def simhash(self, text: str) -> int:
-        toks = text.split(" ")
-        if not toks:
-            return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
-                            .digest(), "little") for t in toks),
-            dtype=np.uint64)
+    def _batch_simhash(self, texts) -> np.ndarray:
+        import polars as pl
+        n = len(texts)
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        df = pl.DataFrame({
+            "d": pl.Series(np.arange(n, dtype=np.int64)),
+            "text": pl.Series([t or "" for t in texts]),
+        })
+        ex = (df.with_columns(pl.col("text").str.split(" ").alias("t"))
+              .select("d", "t").explode("t").sort("d"))
+        docs = ex["d"].to_numpy()
+        hs = ex["t"].hash(seed=11).to_numpy()
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        return int(np.packbits(v > 0, bitorder="little")
-                   .view(np.uint64)[0])
+        v = 2 * bits - 1
+        starts = np.searchsorted(docs, np.arange(n))
+        sums = np.add.reduceat(v, starts, axis=0)
+        packed = np.packbits(sums > 0, axis=1, bitorder="little")
+        return packed.view(np.uint64).reshape(-1)
+
+    def simhash(self, text: str) -> int:
+        return int(self._batch_simhash([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.simhash(t or "") for t in batch[self.col].to_pylist()]
+        sigs = self._batch_simhash(batch[self.col].to_pylist())
         return pa.table({
             self.id_col: batch[self.id_col],
-            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+            "simhash": pa.array(sigs),
         })
 
 
