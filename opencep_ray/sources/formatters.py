@@ -210,6 +210,73 @@ def sensors_table(lines: Sequence[str]) -> pa.Table:
         "stream", pa.array(["s"] * table.num_rows, pa.string()))
 
 
+def find_target_stations(table: pa.Table, top: int = 3,
+                         mode: str = "balanced"):
+    """Target-station selection for load-shedding experiments — the
+    vectorized equivalent of the reference's
+    ``scripts/find_targets.py:35-205`` over a normalized CitiBike table:
+
+    * count CHAIN terminals: per bike (ordered by start time), a trip
+      chains when it starts where the previous trip ended within one
+      hour; its end station is a chainable terminal;
+    * select ``top`` stations by ``mode``: ``rare`` = fewest chains,
+      ``common`` = most, ``balanced`` = middle third;
+    * fall back to stations appearing as both start and end (combined
+      counts, same mode logic), then to raw end counts.
+
+    Ties break by station id for determinism (the reference inherits
+    Counter insertion order)."""
+    import polars as pl
+    assert mode in ("balanced", "rare", "common")
+    df = pl.from_arrow(table.select(
+        ["bikeid", "starttime", "stoptime",
+         "start station id", "end station id"]))
+    df = df.sort(["bikeid", "starttime"])
+    prev_end = pl.col("end station id").shift(1).over("bikeid")
+    prev_stop = pl.col("stoptime").shift(1).over("bikeid")
+    gap = (pl.col("starttime") - prev_stop).dt.total_seconds()
+    chained = df.filter(
+        (prev_end == pl.col("start station id"))
+        & gap.is_between(0, 3600)
+        & pl.col("end station id").is_not_null())
+    chain_counts = (chained.group_by("end station id")
+                    .agg(pl.len().alias("n"))
+                    .drop_nulls().sort(["n", "end station id"]))
+
+    def pick(items, want):
+        # items: list[(station, count)] ascending by (count, station)
+        if mode == "common":
+            items = items[::-1]
+        elif mode == "balanced" and len(items) > want:
+            items = items[len(items) // 3: 2 * len(items) // 3]
+        return [s for s, _ in items[:want]]
+
+    chosen = pick(list(chain_counts.iter_rows()), top)
+    if len(chosen) < top:
+        counts = (df.group_by("start station id")
+                  .agg(pl.len().alias("s"))
+                  .rename({"start station id": "sid"})
+                  .join(df.group_by("end station id")
+                        .agg(pl.len().alias("e"))
+                        .rename({"end station id": "sid"}), on="sid")
+                  .drop_nulls()
+                  .with_columns((pl.col("s") + pl.col("e")).alias("n"))
+                  .sort(["n", "sid"]))
+        extra = pick([(r[0], r[3]) for r in counts.iter_rows()],
+                     top - len(chosen))
+        chosen.extend(s for s in extra if s not in chosen)
+    if len(chosen) < top:
+        ends = (df.group_by("end station id").agg(pl.len().alias("n"))
+                .drop_nulls().sort(["n", "end station id"],
+                                   descending=[True, False]))
+        for s, _ in ends.iter_rows():
+            if s not in chosen:
+                chosen.append(s)
+            if len(chosen) >= top:
+                break
+    return chosen[:top]
+
+
 def sensors_config(num_partitions: int = 1) -> EngineConfig:
     """Sensors engine config: event type = the sensor type
     (SensorsEventTypeClassifier, Sensors.py:40-47)."""

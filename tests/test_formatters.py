@@ -105,3 +105,40 @@ def test_sensors_cep_end_to_end():
                 window=60)
     out = CEP(p, sensors_config()).run_table(t)
     assert out.num_rows == 1
+
+
+def test_find_target_stations_chain_detection():
+    """Reference scripts/find_targets.py semantics: chainable terminals
+    (same bike, station continuity, within 1h) dominate selection."""
+    from opencep_ray.sources.formatters import find_target_stations
+    rows = [
+        # bike 1 chains A->B then B->C (C is a chain terminal), then C->B
+        ("100", "2014-01-01 00:00:00", "2014-01-01 00:10:00", "1", "2"),
+        ("100", "2014-01-01 00:20:00", "2014-01-01 00:30:00", "2", "3"),
+        ("100", "2014-01-01 00:40:00", "2014-01-01 00:50:00", "3", "2"),
+        # bike 2 chains 1->2 twice -> terminal 2 has 2 chains
+        ("200", "2014-01-01 01:00:00", "2014-01-01 01:10:00", "5", "6"),
+        ("200", "2014-01-01 01:20:00", "2014-01-01 01:30:00", "6", "2"),
+        ("200", "2014-01-01 01:40:00", "2014-01-01 01:50:00", "2", "2"),
+        # bike 3: gap > 1h, NOT a chain
+        ("300", "2014-01-01 02:00:00", "2014-01-01 02:10:00", "7", "8"),
+        ("300", "2014-01-01 04:00:00", "2014-01-01 04:10:00", "8", "9"),
+    ]
+    header = ('"tripduration","starttime","stoptime","start station id",'
+              '"start station name","start station latitude",'
+              '"start station longitude","end station id",'
+              '"end station name","end station latitude",'
+              '"end station longitude","bikeid","usertype",'
+              '"birth year","gender"')
+    lines = [header] + [
+        f'"600","{st}","{et}","{s}","A","0","0","{e}","B","0","0",'
+        f'"{b}","Subscriber","1980","1"'
+        for b, st, et, s, e in rows]
+    t = citibike_table(lines)
+    # chain terminals: 3 (1x, bike1), 2 (1x bike1 + 2x bike2 = 3x)
+    common = find_target_stations(t, top=2, mode="common")
+    assert common[0] == 2            # most-chained terminal
+    rare = find_target_stations(t, top=1, mode="rare")
+    assert rare == [3]
+    balanced = find_target_stations(t, top=3, mode="balanced")
+    assert len(balanced) == 3        # falls through to overlap/end counts
