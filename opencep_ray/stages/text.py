@@ -93,34 +93,52 @@ _LANG_MARKERS = {
 
 class LangId:
     """Stopword/char-class language heuristic.  CJK codepoints → ``zh``;
-    otherwise the language whose marker-stopword hit count is highest
-    (``und`` = undetermined when no marker hits).  A stateful actor-pool
-    stage: marker tables and regexes build once per actor."""
+    otherwise the language whose marker-stopword hit count is highest,
+    earliest language winning ties (``und`` = no marker hits).  Fully
+    vectorized: one polars word-extraction + explode over the batch,
+    marker membership per language as expressions, argmax via a
+    when/then chain — no per-document Python.  A stateful actor-pool
+    stage: marker tables build once per actor."""
+
+    WORD_RE = r"[a-zàâçéèêëîïôûùüÿñáíóúäöüß]+"
+    CJK_RE = "[一-鿿]"
 
     def __init__(self, col: str = "text", out_col: str = "lang_pred"):
-        import re
         self.col = col
         self.out_col = out_col
-        self.word_re = re.compile(r"[a-zàâçéèêëîïôûùüÿñáíóúäöüß]+")
-        self.cjk_re = re.compile("[一-鿿]")
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = list(_LANG_MARKERS)
+        self.markers = {k: sorted(v) for k, v in _LANG_MARKERS.items()}
 
     def detect(self, text: str) -> str:
-        if self.cjk_re.search(text):
-            return "zh"
-        words = self.word_re.findall(text.lower())
-        best, best_hits = "und", 0
-        for lang, marks in self.markers.items():
-            hits = sum(1 for w in words if w in marks)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        t = pa.table({self.col: pa.array([text], pa.string())})
+        return self(t)[self.out_col][0].as_py()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.detect(t) if t is not None else "und"
-                 for t in batch[self.col].to_pylist()]
+        import polars as pl
+        n = batch.num_rows
+        texts = pl.from_arrow(
+            pc.fill_null(pc.cast(batch[self.col], pa.string()), ""))
+        df = pl.DataFrame({"_i": pl.Series(range(n), dtype=pl.Int64),
+                           "_t": texts})
+        words = (df.with_columns(
+            pl.col("_t").str.to_lowercase()
+            .str.extract_all(self.WORD_RE).alias("_w"))
+            .select("_i", "_w").explode("_w"))
+        hits = words.group_by("_i").agg([
+            pl.col("_w").is_in(self.markers[lang]).sum()
+            .alias(f"_h_{lang}") for lang in self.langs])
+        df = df.join(hits, on="_i", how="left").sort("_i")
+        hcols = [pl.col(f"_h_{lang}").fill_null(0) for lang in self.langs]
+        best = pl.max_horizontal(hcols)
+        pred = (pl.when(pl.col("_t").str.contains(self.CJK_RE))
+                .then(pl.lit("zh"))
+                .when(best == 0).then(pl.lit("und")))
+        for lang, hc in zip(self.langs, hcols):
+            pred = pred.when(hc == best).then(pl.lit(lang))
+        pred = pred.otherwise(pl.lit("und"))
+        out = df.select(pred.alias(self.out_col))[self.out_col].to_arrow()
         return batch.append_column(self.out_col,
-                                   pa.array(preds, pa.string()))
+                                   pc.cast(out, pa.string()))
 
 
 def stable_token_hash(token: str) -> int:
