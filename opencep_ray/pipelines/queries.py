@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..conditions import SimpleCondition, Variable
 from ..engine import CEP, BindingsEmitter, EngineConfig
@@ -72,15 +73,42 @@ def ensure_signature_tables(sf_dir: str = AUX_SF_DIR):
     os.makedirs("/tmp/graft_synth", exist_ok=True)
     from ..stages.dedup import (MinHashSignatures, SimHashSignatures,
                                 _BandExplode)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    sim = SimHashSignatures()(docs)
+    import ray
+    if ray.is_initialized():
+        # distributed generation: signature stages are per-batch
+        # transforms, so fan the corpus out instead of hashing it
+        # serially on the driver (the collected signature tables are
+        # tiny — one row / 17 rows per document)
+        ds = _documents(sf_dir)
+        sim = pa.concat_tables(
+            b for b in ds.map_batches(SimHashSignatures(),
+                                      batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows)
+        sim = sim.combine_chunks().take(
+            pc.sort_indices(sim, sort_keys=[("doc_id", "ascending")]))
+        bands_ds = (ds.map_batches(MinHashSignatures("text", "doc_id",
+                                                     64, 2),
+                                   batch_format="pyarrow")
+                    .map_batches(_BandExplode("doc_id", 16, 4),
+                                 batch_format="pyarrow"))
+        bands = pa.concat_tables(
+            b for b in bands_ds.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)
+            if b.num_rows)
+        bands = bands.combine_chunks().take(
+            pc.sort_indices(bands, sort_keys=[("doc_id", "ascending"),
+                                              ("band", "ascending")]))
+    else:
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        sim = SimHashSignatures()(docs)
+        # parameters must mirror dedup_minhash: num_perm=64, bands=16, k=2
+        sigs = MinHashSignatures("text", "doc_id", 64, 2)(docs)
+        bands = _BandExplode("doc_id", 16, 4)(sigs)
     tmp = SIMHASH_SIG_PATH + ".tmp"
     pq.write_table(sim, tmp)
     os.rename(tmp, SIMHASH_SIG_PATH)
-    # parameters must mirror dedup_minhash: num_perm=64, bands=16, k=2
-    sigs = MinHashSignatures("text", "doc_id", 64, 2)(docs)
-    bands = _BandExplode("doc_id", 16, 4)(sigs)
     tmp = MINHASH_BANDS_PATH + ".tmp"
     pq.write_table(bands, tmp)
     os.rename(tmp, MINHASH_BANDS_PATH)

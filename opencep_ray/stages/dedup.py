@@ -176,21 +176,35 @@ class MinHashSignatures:
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
 
-    def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix for a text batch."""
+    def signatures(self, texts, max_chunk_grams: int = 200_000
+                   ) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a text batch.
+        The (num_perm × grams) permutation matrix is computed in bounded
+        chunks so memory stays ~``num_perm × max_chunk_grams × 8`` bytes
+        regardless of batch size."""
         n = len(texts)
         if n == 0:
             return np.zeros((0, self.num_perm), dtype=np.uint64)
         docs, h = self._gram_hashes(texts)
-        # (num_perm, n_shingles) permuted hashes → per-doc minima; every
-        # intermediate stays < 2^61, no int64 wraparound
-        m = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
-        starts = np.searchsorted(docs, np.arange(n))
-        # empty docs cannot occur (short docs contribute one gram), but a
-        # defensive clip keeps reduceat well-defined on ragged tails
-        starts = np.clip(starts, 0, max(len(h) - 1, 0))
-        sig = np.minimum.reduceat(m, starts, axis=1).T
-        return sig.astype(np.uint64)
+        bounds = np.searchsorted(docs, np.arange(n + 1))
+        sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and bounds[j + 1] - bounds[i] <= max_chunk_grams:
+                j += 1
+            hs = h[bounds[i]:bounds[j]]
+            # (num_perm, chunk grams) permuted hashes → per-doc minima;
+            # every intermediate stays < 2^61, no int64 wraparound
+            m = (self.a[:, None] * hs[None, :] + self.b[:, None]) \
+                % _MERSENNE31
+            local = (bounds[i:j] - bounds[i])
+            # defensive clip keeps reduceat well-defined (empty docs
+            # cannot occur: short docs contribute one whole-text gram)
+            local = np.clip(local, 0, max(len(hs) - 1, 0))
+            sig[i:j] = np.minimum.reduceat(m, local, axis=1).T
+            i = j
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = self.signatures(batch[self.col].to_pylist())
@@ -438,7 +452,8 @@ class SimHashSignatures:
         self.col = col
         self.id_col = id_col
 
-    def _batch_simhash(self, texts) -> np.ndarray:
+    def _batch_simhash(self, texts,
+                       max_chunk_tokens: int = 1_000_000) -> np.ndarray:
         import polars as pl
         n = len(texts)
         if n == 0:
@@ -451,13 +466,29 @@ class SimHashSignatures:
               .select("d", "t").explode("t").sort("d"))
         docs = ex["d"].to_numpy()
         hs = ex["t"].hash(seed=11).to_numpy()
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        v = 2 * bits - 1
-        starts = np.searchsorted(docs, np.arange(n))
-        sums = np.add.reduceat(v, starts, axis=0)
-        packed = np.packbits(sums > 0, axis=1, bitorder="little")
-        return packed.view(np.uint64).reshape(-1)
+        bounds = np.searchsorted(docs, np.arange(n + 1))
+        out = np.empty(n, dtype=np.uint64)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and bounds[j + 1] - bounds[i] <= max_chunk_tokens:
+                j += 1
+            chunk = hs[bounds[i]:bounds[j]]
+            # bit matrix as uint8 (unpackbits; little bit order matches
+            # (h >> k) & 1), summed per doc; sign sum = 2·Σbits − count
+            bits = np.unpackbits(chunk.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")
+            local = bounds[i:j] - bounds[i]
+            local = np.clip(local, 0, max(len(chunk) - 1, 0))
+            # accumulate uint8 bits straight into int64 (dtype arg avoids
+            # materializing an int32 copy of the bit matrix)
+            sums = np.add.reduceat(bits, local, axis=0, dtype=np.int64)
+            counts = np.diff(bounds[i:j + 1])
+            v = 2 * sums - counts[:, None]
+            out[i:j] = np.packbits(v > 0, axis=1,
+                                   bitorder="little").view(np.uint64)[:, 0]
+            i = j
+        return out
 
     def simhash(self, text: str) -> int:
         return int(self._batch_simhash([text])[0])
