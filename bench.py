@@ -5,10 +5,13 @@ Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
 matching scale, under ``ray.init(address="local",
 num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and prints ONE JSON line.
 
-``--scaling``: runs the same bench twice in fresh processes at 8 and 32
-CPUs on the same (pre-generated, page-cache-warmed) input and reports both
-times plus scaling efficiency = (T_8 / T_32) / 4 — the sandbox stand-in
-for the N-node vs 4N-node cluster criterion (BASELINE.md).
+``--scaling``: runs the flagship streaming job in fresh processes at N
+and 4N CPUs (default 4 → 16, workers scaled exactly 4×, runs interleaved
+lo/hi, best-of-3 per level) on the same pre-generated page-cache-warmed
+input and reports both throughputs plus scaling efficiency =
+(T_lo / T_hi) / 4 — the sandbox stand-in for the N-node vs 4N-node
+cluster criterion (BASELINE.md §2 documents the protocol and the
+shared-box co-tenancy caveats).
 """
 
 from __future__ import annotations
@@ -251,7 +254,7 @@ def run_scaling():
                    cwd=os.path.dirname(os.path.abspath(__file__)))
     levels = os.environ.get("GRAFT_SCALING_LEVELS", "4,16")
     lo, hi = (int(x) for x in levels.split(","))
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(repeats):          # interleaved: lo, hi, lo, hi, ...
         runs_lo.append(one(lo))

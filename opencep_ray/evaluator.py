@@ -930,6 +930,8 @@ class ConversationEvaluator:
     def _inst_spec(self, spec: _NodeSpec, cp: CompiledPattern, tree):
         """Returns a fresh _RTNode in ``tree``, or a ("shared", mini,
         remap, spec) reference to a shared mini-tree."""
+        if not self._shared_sigs:
+            return self._inst_fresh(spec, cp, tree)
         sig = spec.share_sig
         if sig is not None and sig in self._shared_sigs:
             mini = self._shared.get(sig)
@@ -1206,39 +1208,38 @@ class ConversationEvaluator:
         node of each consuming tree (entry keys remapped per pattern for
         shared nodes) and/or a pattern's output."""
         for sink in node.sinks:
-            if sink[0] == "out":
-                _, tree, remap, strict = sink
-                out_pm = pm if remap is None else _remap_pm(pm, remap)
-                if strict:
-                    # shared root: re-validate this pattern's own window
-                    # (tree/MultiPatternTree.py:46-54); confidence is
-                    # re-checked inside _accept_output
-                    if out_pm.last_ts - out_pm.first_ts \
-                            > tree["cp"].window_us:
-                        continue
-                self._accept_output(tree, out_pm)
-                continue
-            _, tree, parent, side, remap, check = sink
-            up_pm = pm if remap is None else _remap_pm(pm, remap)
-            if check and \
-                    up_pm.last_ts - up_pm.first_ts > tree["cp"].window_us:
-                # a shared mini runs at the least-restrictive window; the
-                # consumer's own window must re-filter here because not
-                # every parent kind re-validates (negation nodes pass
-                # positives through).  Read the CURRENT window: when the
-                # consumer is itself a mini, its view may have been
-                # relaxed after this sink was wired
-                continue
-            kind = parent.spec.kind
-            if kind == _NodeSpec.KIND_JOIN:
-                self._join_on_child(tree, parent, up_pm, side)
-            elif kind == _NodeSpec.KIND_KC:
-                self._kc_on_child(tree, parent, up_pm)
-            elif kind == _NodeSpec.KIND_NEG:
-                if side == 0:
+            if sink[0] == "up":   # the hot path: interior propagation
+                _, tree, parent, side, remap, check = sink
+                up_pm = pm if remap is None else _remap_pm(pm, remap)
+                if check and up_pm.last_ts - up_pm.first_ts \
+                        > tree["cp"].window_us:
+                    # a shared mini runs at the least-restrictive window;
+                    # the consumer's own window must re-filter here
+                    # because not every parent kind re-validates
+                    # (negation nodes pass positives through).  Read the
+                    # CURRENT window: a consumer mini's view may have
+                    # been relaxed after this sink was wired
+                    continue
+                kind = parent.spec.kind
+                if kind == _NodeSpec.KIND_JOIN:
+                    self._join_on_child(tree, parent, up_pm, side)
+                elif kind == _NodeSpec.KIND_KC:
+                    self._kc_on_child(tree, parent, up_pm)
+                elif side == 0:
                     self._neg_on_positive(tree, parent, up_pm)
                 else:
                     self._neg_on_negative(tree, parent, up_pm)
+                continue
+            _, tree, remap, strict = sink
+            out_pm = pm if remap is None else _remap_pm(pm, remap)
+            if strict:
+                # shared root: re-validate this pattern's own window
+                # (tree/MultiPatternTree.py:46-54); confidence is
+                # re-checked inside _accept_output
+                if out_pm.last_ts - out_pm.first_ts \
+                        > tree["cp"].window_us:
+                    continue
+            self._accept_output(tree, out_pm)
 
     # -- join ---------------------------------------------------------------
     def _join_on_child(self, tree, node: _RTNode, pm: PM, side: int):
