@@ -701,6 +701,19 @@ class CompiledPattern:
 
         compile_node(self.root)
 
+        # flat instantiation program (pre-order; parent before children)
+        # for the no-sharing fast path: (spec, parent_position, side)
+        prog: List[tuple] = []
+
+        def flatten(spec: _NodeSpec, parent_pos: int, side: int):
+            pos = len(prog)
+            prog.append((spec, parent_pos, side))
+            for i, ch in enumerate(spec.children):
+                flatten(ch, pos, i)
+
+        flatten(self.root, -1, -1)
+        self.build_program = tuple(prog)
+
     def _find_eq_probe(self, spec: _NodeSpec, lkeys: tuple, rkeys: tuple):
         """Finds an equality condition Col(a, x) == Col(b, y) linking one
         primitive leaf on each side of the join — enables hash-probed
@@ -753,7 +766,7 @@ def compile_patterns(patterns, statistics: Optional[dict] = None,
 
 
 class _RTNode:
-    __slots__ = ("spec", "sinks", "buffers", "pending", "filtered")
+    __slots__ = ("spec", "sinks", "fast", "buffers", "pending", "filtered")
 
     def __init__(self, spec: _NodeSpec):
         self.spec = spec
@@ -762,6 +775,9 @@ class _RTNode:
         # ("out", tree, remap, strict) output links — more than one when
         # the node is shared across patterns (multi-pattern sharing)
         self.sinks: list = []
+        # (tree, parent, side) when there is exactly one plain interior
+        # sink — the dominant case; set by the evaluator after wiring
+        self.fast = None
         self.buffers = None      # join/neg: [left, right]; kc: [child pms]
         self.pending = None      # unbounded-negation pending positives
         self.filtered = None     # single-policy used-event idx set
@@ -856,6 +872,12 @@ class ConversationEvaluator:
         self._shared: Dict[tuple, dict] = {}
         self._minis: List[dict] = []
         self._trees = [self._instantiate(cp) for cp in compiled]
+        # freeze the single-plain-sink fast path (sinks are final now)
+        for tree in self._minis + self._trees:
+            for n in tree["nodes"]:
+                if len(n.sinks) == 1 and n.sinks[0][0] == "up" \
+                        and n.sinks[0][4] is None and not n.sinks[0][5]:
+                    n.fast = (n.sinks[0][1], n.sinks[0][2], n.sinks[0][3])
         # per-event delivery order must match the reference's leaf order
         # (positive leaves before negative leaves — NegationNode stacks on
         # top of the positive tree and get_leaves is left-first): shared
@@ -909,6 +931,15 @@ class ConversationEvaluator:
                 "nodes": [], "first_unbounded": None,
                 "freezers": [] if cp.freeze_blocked_by_type else None,
                 "child_minis": []}
+        if not self._shared_sigs:
+            self._instantiate_flat(cp, tree)
+            if cp.single_at_root or cp.match_next_types:
+                for n in tree["nodes"]:
+                    n.filtered = set()
+            tree["first_unbounded"] = next(
+                (n for n in tree["nodes"] if n.spec.is_first_unbounded),
+                None)
+            return tree
         ref = self._inst_spec(cp.root, cp, tree)
         if isinstance(ref, _RTNode):
             tree["root"] = ref
@@ -926,6 +957,48 @@ class ConversationEvaluator:
         tree["first_unbounded"] = next(
             (n for n in tree["nodes"] if n.spec.is_first_unbounded), None)
         return tree
+
+    def _instantiate_flat(self, cp: CompiledPattern, tree):
+        """No-sharing fast path: replay the precompiled build program —
+        one tight loop instead of recursive dispatch (evaluators are
+        created once per conversation, so this is hot at scale)."""
+        nodes_out = tree["nodes"]
+        leaf_nodes = tree["leaf_nodes"]
+        routes = tree["routes"]
+        KIND_JOIN = _NodeSpec.KIND_JOIN
+        KIND_NEG = _NodeSpec.KIND_NEG
+        KIND_KC = _NodeSpec.KIND_KC
+        KIND_LEAF = _NodeSpec.KIND_LEAF
+        built: List[_RTNode] = []
+        for spec, parent_pos, side in cp.build_program:
+            node = _RTNode(spec)
+            built.append(node)
+            nodes_out.append(node)
+            kind = spec.kind
+            if kind == KIND_JOIN and spec.eq_probe is not None:
+                node.buffers = [{"d": {}, "min": None},
+                                {"d": {}, "min": None}]
+            elif kind == KIND_JOIN or kind == KIND_NEG:
+                node.buffers = [[], []]
+            elif kind == KIND_KC:
+                node.buffers = [[]]
+            if spec.is_first_unbounded:
+                node.pending = []
+            if kind == KIND_LEAF:
+                lf = spec.leaf
+                leaf_nodes[lf.leaf_id] = node
+                lst = routes.get(lf.event_type)
+                if lst is None:
+                    routes[lf.event_type] = [lf]
+                else:
+                    lst.append(lf)
+            if parent_pos < 0:
+                tree["root"] = node
+                node.sinks.append(("out", tree, None, False))
+            else:
+                node.sinks.append(("up", tree, built[parent_pos], side,
+                                   None, None))
+        return tree["root"]
 
     def _inst_spec(self, spec: _NodeSpec, cp: CompiledPattern, tree):
         """Returns a fresh _RTNode in ``tree``, or a ("shared", mini,
@@ -1207,6 +1280,19 @@ class ConversationEvaluator:
         """Dispatch a node's (partial) match to every sink: the parent
         node of each consuming tree (entry keys remapped per pattern for
         shared nodes) and/or a pattern's output."""
+        fast = node.fast
+        if fast is not None:  # single plain interior sink (dominant case)
+            tree, parent, side = fast
+            kind = parent.spec.kind
+            if kind == _NodeSpec.KIND_JOIN:
+                self._join_on_child(tree, parent, pm, side)
+            elif kind == _NodeSpec.KIND_KC:
+                self._kc_on_child(tree, parent, pm)
+            elif side == 0:
+                self._neg_on_positive(tree, parent, pm)
+            else:
+                self._neg_on_negative(tree, parent, pm)
+            return
         for sink in node.sinks:
             if sink[0] == "up":   # the hot path: interior propagation
                 _, tree, parent, side, remap, check = sink
