@@ -842,7 +842,7 @@ class ConversationEvaluator:
                  "_history", "_max_window_us", "cond_stats",
                  "shedding", "shed_count", "_shed_tick", "_last_ts",
                  "_shed_rng", "share", "_shared", "_minis", "_all_trees",
-                 "_shared_sigs")
+                 "_shared_sigs", "_routing")
 
     def __init__(self, compiled: List[CompiledPattern],
                  retain_events: bool = False,
@@ -891,6 +891,18 @@ class ConversationEvaluator:
         pos_minis = [m for m in self._minis if not _is_negative_mini(m)]
         neg_minis = [m for m in self._minis if _is_negative_mini(m)]
         self._all_trees = pos_minis + self._trees + neg_minis
+        # flat routing table {event_type: [(tree, leafspec), ...]} in
+        # delivery order — usable whenever no pattern has freeze
+        # policies (freezers need per-tree bookkeeping per event)
+        if any(t["freezers"] is not None for t in self._all_trees):
+            self._routing = None
+        else:
+            routing: Dict[str, list] = {}
+            for tree in self._all_trees:
+                for typ, lfs in tree["routes"].items():
+                    dst = routing.setdefault(typ, [])
+                    dst.extend((tree, lf) for lf in lfs)
+            self._routing = routing
         # optional in-window event history, enabling replan-with-replay
         # (the reference's tree-swap replay trick,
         # tree/evaluation/TrivialTreeBasedEvaluationMechnism.py:30-55)
@@ -1089,6 +1101,19 @@ class ConversationEvaluator:
             if self._history[0][2] < threshold:
                 self._history = [h for h in self._history
                                  if h[2] >= threshold]
+        routing = self._routing
+        if routing is not None:  # no freeze policies: flat delivery
+            deliveries = routing.get(ev_type)
+            if deliveries:
+                for tree, lf in deliveries:
+                    self._leaf_accept(tree, lf, ev)
+            if self.shedding is not None:
+                self._last_ts = ts_us
+                self._shed_tick += 1
+                if self._shed_tick >= 32:
+                    self._shed_tick = 0
+                    self._maybe_shed()
+            return
         for tree in self._all_trees:
             cp = tree["cp"]
             routes = tree["routes"].get(ev_type)
