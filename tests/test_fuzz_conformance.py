@@ -97,3 +97,39 @@ def test_random_multipattern_sharing_invariance(seed, n, data):
     base = run_evaluator(patterns, events, share=None)
     for mode in ("leaves", "subtrees"):
         assert run_evaluator(patterns, events, share=mode) == base
+
+
+@st.composite
+def nested_pattern_strategy(draw):
+    """SEQ/AND with ONE nested composite slot (the oracle's supported
+    nesting level), e.g. SEQ(a, AND(b, c)) or AND(SEQ(a, b), c)."""
+    inner_n = draw(st.integers(2, 3))
+    inner_names = [f"i{k}" for k in range(inner_n)]
+    inner = (Seq if draw(st.booleans()) else And)(
+        *[Primitive(draw(st.sampled_from(TYPES)), inner_names[k])
+          for k in range(inner_n)])
+    outer_args = [Primitive(draw(st.sampled_from(TYPES)), "o0"), inner]
+    if draw(st.booleans()):
+        outer_args = outer_args[::-1]
+    structure = (Seq if draw(st.booleans()) else And)(*outer_args)
+    cond = None
+    if draw(st.booleans()):
+        a, b = "o0", inner_names[0]
+        cls = draw(st.sampled_from([GreaterThanCondition,
+                                    SmallerThanCondition]))
+        cond = cls(Col(a, "v"), Col(b, "v"))
+    window = draw(st.integers(4, 15))
+    if cond is None:
+        return Pattern(structure, window=window)
+    return Pattern(structure, cond, window=window)
+
+
+@settings(max_examples=30, deadline=None)
+@given(pattern=nested_pattern_strategy(), seed=st.integers(0, 10_000),
+       n=st.integers(8, 18))
+def test_nested_pattern_matches_oracle(pattern, seed, n):
+    events = gen_stream(seed, n)
+    got = run_evaluator(pattern, events)
+    want = sorted(((pid, key) for key, pid, _prob, _b
+                   in oracle_matches(pattern, events)), key=repr)
+    assert got == want

@@ -386,3 +386,35 @@ def test_resume_byte_identical_adaptive(ray_session, input_files, tmp_path):
         return out
 
     assert digest(crash_dir) == digest(full_dir)
+
+
+def test_ts_ordered_watermark_eviction_bounds_state(ray_session, tmp_path):
+    """The 100 TB state story: with globally ts-ordered input and
+    event-time watermarks, quiescent conversations are evicted as the
+    watermark passes, so live state stays bounded by the window span —
+    not by the total number of conversations — while match sets stay
+    identical to the unordered run."""
+    table = synth_transcripts(800, 12, seed=33)
+    order = pc.sort_indices(table, sort_keys=[("ts", "ascending"),
+                                              ("conv_id", "ascending"),
+                                              ("turn_idx", "ascending")])
+    ts_sorted = table.take(order)
+    d = tmp_path / "in"
+    d.mkdir()
+    p = str(d / "part-0.parquet")
+    pq.write_table(ts_sorted, p)
+
+    wm_dir = str(tmp_path / "wm")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                     ts_ordered_input=True)
+    stats = s.run_files([p], wm_dir, micro_batch_rows=400)
+    # conversations are spread over 30 days with ≤3-minute windows: the
+    # vast majority must be evicted long before end-of-stream
+    assert stats["live_conversations"] < 800 * 0.05, stats
+
+    base_dir = str(tmp_path / "base")
+    s2 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    stats2 = s2.run_files([p], base_dir, micro_batch_rows=400)
+    assert stats2["live_conversations"] == 800  # no eviction without wm
+    assert canonical(read_matches(wm_dir)) == \
+        canonical(read_matches(base_dir))
