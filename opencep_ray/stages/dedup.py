@@ -33,6 +33,10 @@ from ray.data.aggregate import Count, Min
 
 logger = logging.getLogger(__name__)
 
+# byte-wise popcount lookup table for vectorized Hamming distances
+_POPCOUNT8 = np.array([bin(x).count("1") for x in range(256)],
+                      dtype=np.uint8)
+
 # Universal-hash modulus for MinHash permutations.  2^31−1 (a Mersenne
 # prime) with 30-bit shingle hashes keeps every product a·h < 2^61 inside
 # int64 — a 2^61−1 modulus would overflow int64 in the a·h multiply and
@@ -220,26 +224,32 @@ class _BandExplode:
         self.bands = bands
         self.rows_per_band = rows_per_band
 
+    # odd multiplicative mixing constants for the vectorized band fold
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sigs = batch["signature"].to_pylist()
-        out_ids, out_band, out_bh = [], [], []
+        from .ann import list_col_to_numpy
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({self.id_col: batch[self.id_col],
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64())})
+        sigs = list_col_to_numpy(batch["signature"], dtype=np.uint64)
         r = self.rows_per_band
-        for i, sig in enumerate(sigs):
-            for b in range(self.bands):
-                chunk = bytes(np.asarray(sig[b * r:(b + 1) * r],
-                                         dtype=np.uint64).data)
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk, digest_size=8).digest(), "little")
-                out_ids.append(ids[i])
-                out_band.append(b)
-                out_bh.append(bh)
+        bands = sigs.reshape(n, self.bands, r)
+        # vectorized band fold: h = ((h ^ x_i) * MIX) per lane — a
+        # deterministic 64-bit mix (wrapping uint64 arithmetic), the
+        # whole batch at once
+        h = np.zeros((n, self.bands), dtype=np.uint64)
+        for lane in range(r):
+            h = (h ^ bands[:, :, lane]) * self._MIX
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         return pa.table({
-            self.id_col: pa.array(out_ids),
-            "band": pa.array(out_band, pa.int32()),
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     n)),
             # int64 reinterpret (see _ContentHash)
-            "band_hash": pa.array(
-                np.array(out_bh, dtype=np.uint64).view(np.int64)),
+            "band_hash": pa.array(h.reshape(-1).view(np.int64)),
         })
 
 
@@ -250,22 +260,22 @@ class _BucketPairs:
         self.__name__ = "BucketPairs"
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        ids = sorted(group[self.id_col].to_pylist())
-        a_out, b_out = [], []
-        if len(ids) > self.max_bucket:
+        ids = np.sort(group[self.id_col].to_numpy(zero_copy_only=False))
+        m = len(ids)
+        if m > self.max_bucket:
             # never a silent cap: a degenerate bucket is loud in the logs
             # so a run can be re-shingled/re-banded instead of quietly
             # losing recall
             logger.warning(
                 "minhash-lsh: dropping bucket of %d docs (> cap %d); "
                 "%d candidate pairs skipped",
-                len(ids), self.max_bucket,
-                len(ids) * (len(ids) - 1) // 2)
-        elif len(ids) > 1:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
+                m, self.max_bucket, m * (m - 1) // 2)
+            m = 0
+        if m > 1:
+            i, j = np.triu_indices(m, k=1)
+            a_out, b_out = ids[i], ids[j]
+        else:
+            a_out = b_out = np.array([], dtype=np.int64)
         return pa.table({"id_a": pa.array(a_out, pa.int64()),
                          "id_b": pa.array(b_out, pa.int64())})
 
@@ -532,26 +542,32 @@ def simhash_candidates(ds: Dataset, col: str = "text",
             self.__name__ = "HamPairs"
 
         def __call__(self, group: pa.Table) -> pa.Table:
-            ids = group[id_col].to_pylist()
+            ids = group[id_col].to_numpy(zero_copy_only=False)
             sigs = group["simhash"].to_numpy(zero_copy_only=False) \
                 .astype(np.uint64)
-            order = np.argsort(ids, kind="stable")
-            a_out, b_out, d_out = [], [], []
-            if len(ids) > max_bucket:
+            m = len(ids)
+            if m > max_bucket:
                 logger.warning(
                     "simhash: dropping bucket of %d docs (> cap %d)",
-                    len(ids), max_bucket)
-            if 1 < len(ids) <= max_bucket:
-                for ii in range(len(order)):
-                    for jj in range(ii + 1, len(order)):
-                        i, j = order[ii], order[jj]
-                        if ids[i] == ids[j]:
-                            continue
-                        d = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
-                        if d <= max_hamming:
-                            a_out.append(ids[i])
-                            b_out.append(ids[j])
-                            d_out.append(d)
+                    m, max_bucket)
+                m = 0
+            if m > 1:
+                order = np.argsort(ids, kind="stable")
+                ids_s, sigs_s = ids[order], sigs[order]
+                i, j = np.triu_indices(m, k=1)
+                keep = ids_s[i] != ids_s[j]
+                i, j = i[keep], j[keep]
+                # vectorized popcount of the pairwise xors (byte LUT)
+                xors = (sigs_s[i] ^ sigs_s[j]).view(np.uint8) \
+                    .reshape(-1, 8)
+                d = _POPCOUNT8[xors].sum(axis=1).astype(np.int32)
+                sel = d <= max_hamming
+                a_out = ids_s[i[sel]]
+                b_out = ids_s[j[sel]]
+                d_out = d[sel]
+            else:
+                a_out = b_out = np.array([], dtype=np.int64)
+                d_out = np.array([], dtype=np.int32)
             return pa.table({"id_a": pa.array(a_out, pa.int64()),
                              "id_b": pa.array(b_out, pa.int64()),
                              "hamming": pa.array(d_out, pa.int32())})
