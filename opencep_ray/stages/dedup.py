@@ -147,9 +147,16 @@ class MinHashSignatures:
         the whole text as their single shingle (one gram per such doc)."""
         import polars as pl
         k = self.shingle_k
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            tser = pl.from_arrow(pc.fill_null(
+                pc.cast(texts, pa.string()), "")).rename("text")
+            n_texts = len(tser)
+        else:
+            tser = pl.Series("text", [t or "" for t in texts])
+            n_texts = len(texts)
         df = pl.DataFrame({
-            "d": pl.Series(np.arange(len(texts), dtype=np.int64)),
-            "text": pl.Series([t or "" for t in texts]),
+            "d": pl.Series(np.arange(n_texts, dtype=np.int64)),
+            "text": tser,
         })
         ex = (df.with_columns(pl.col("text").str.split(" ").alias("t"))
               .select("d", "text", "t").explode("t"))
@@ -211,7 +218,7 @@ class MinHashSignatures:
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = self.signatures(batch[self.col].to_pylist())
+        sigs = self.signatures(batch[self.col])
         return pa.table({
             self.id_col: batch[self.id_col],
             "signature": pa.array(list(sigs), pa.list_(pa.uint64())),
@@ -468,9 +475,14 @@ class SimHashSignatures:
         n = len(texts)
         if n == 0:
             return np.zeros(0, dtype=np.uint64)
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            tser = pl.from_arrow(pc.fill_null(
+                pc.cast(texts, pa.string()), "")).rename("text")
+        else:
+            tser = pl.Series("text", [t or "" for t in texts])
         df = pl.DataFrame({
             "d": pl.Series(np.arange(n, dtype=np.int64)),
-            "text": pl.Series([t or "" for t in texts]),
+            "text": tser,
         })
         ex = (df.with_columns(pl.col("text").str.split(" ").alias("t"))
               .select("d", "t").explode("t").sort("d"))
@@ -504,7 +516,7 @@ class SimHashSignatures:
         return int(self._batch_simhash([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = self._batch_simhash(batch[self.col].to_pylist())
+        sigs = self._batch_simhash(batch[self.col])
         return pa.table({
             self.id_col: batch[self.id_col],
             "simhash": pa.array(sigs),
@@ -522,20 +534,17 @@ def simhash_candidates(ds: Dataset, col: str = "text",
                           batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        n = batch.num_rows
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        for b in range(4):
-            chunk = (s >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            out_id.extend(ids)
-            out_band.extend([b] * len(ids))
-            out_bh.extend(chunk.tolist())
-            out_sig.extend(s.tolist())
-        return pa.table({id_col: pa.array(out_id),
-                         "band": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_bh, pa.int64()),
-                         "simhash": pa.array(np.array(out_sig,
-                                                      dtype=np.uint64))})
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        bh = ((s[None, :] >> shifts[:, None])
+              & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({id_col: pa.array(np.tile(ids, 4)),
+                         "band": pa.array(np.repeat(
+                             np.arange(4, dtype=np.int32), n)),
+                         "band_hash": pa.array(bh.reshape(-1)),
+                         "simhash": pa.array(np.tile(s, 4))})
 
     class _HamPairs:
         def __init__(self):
