@@ -418,3 +418,50 @@ def test_ts_ordered_watermark_eviction_bounds_state(ray_session, tmp_path):
     assert stats2["live_conversations"] == 800  # no eviction without wm
     assert canonical(read_matches(wm_dir)) == \
         canonical(read_matches(base_dir))
+
+
+def test_stream_with_sharing_equals_batch_and_resumes(ray_session,
+                                                      input_files,
+                                                      tmp_path):
+    """Multi-pattern sharing inside streaming workers: identical match
+    sets, and checkpointed shared structures (mini-trees with
+    cross-referenced sinks) survive pickle/restore byte-identically."""
+    import hashlib
+    files, table = input_files
+
+    def mk():
+        cfg = transcript_config()
+        cfg.share = "subtrees"
+        return StreamingCEP(PATTERNS, cfg, num_workers=3,
+                            checkpoint_every=2)
+
+    shared_dir = str(tmp_path / "shared")
+    mk().run_files(files, shared_dir, micro_batch_rows=150)
+    base_dir = str(tmp_path / "base")
+    s0 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3)
+    s0.run_files(files, base_dir, micro_batch_rows=150)
+    assert canonical(read_matches(shared_dir)) == \
+        canonical(read_matches(base_dir))
+
+    crash_dir = str(tmp_path / "crash")
+
+    class CrashingStream(StreamingCEP):
+        def _micro_batch_plan(self, files_, rows):
+            for item in super()._micro_batch_plan(files_, rows):
+                if item[0] >= 7:
+                    raise RuntimeError("simulated crash")
+                yield item
+
+    cfg = transcript_config()
+    cfg.share = "subtrees"
+    s2 = CrashingStream(PATTERNS, cfg, num_workers=3, checkpoint_every=2)
+    with pytest.raises(RuntimeError):
+        s2.run_files(files, crash_dir, micro_batch_rows=150)
+    mk().run_files(files, crash_dir, micro_batch_rows=150, resume=True)
+
+    def digest(d):
+        return {os.path.basename(p): hashlib.sha256(
+            open(p, "rb").read()).hexdigest()
+            for p in glob.glob(os.path.join(d, "part-*.parquet"))}
+
+    assert digest(crash_dir) == digest(shared_dir)
