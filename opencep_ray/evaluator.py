@@ -1164,6 +1164,14 @@ class ConversationEvaluator:
         for tree in self._all_trees:
             self._flush_pending(tree, None)
 
+    def flush_pending_before(self, ts_us: int):
+        """Flush pending unbounded-negation positives with first_ts <
+        ``ts_us`` exactly (independent of each pattern's window — unlike
+        ``advance_watermark``).  Plan-swap handoff: only safe once every
+        such pending's window has fully passed."""
+        for tree in self._all_trees:
+            self._flush_pending(tree, ts_us + tree["cp"].window_us)
+
     # -- load shedding ------------------------------------------------------
     def _iter_buffers(self, sheddable_only: bool = False):
         for tree in self._all_trees:

@@ -191,7 +191,11 @@ class HyperCubeCEP:
         if self.emitter is not None:
             return self.emitter
         from .engine import MatchesEmitter
-        fields = [f for f in schema]
+        # the synthetic grid key is an int64 cell id produced by _HyperPrep
+        # and absent from the input schema — declare it explicitly so the
+        # emitter's key field is int64, not the string default (ADVICE r2)
+        fields = [f for f in schema if f.name != "_cell"]
+        fields.append(pa.field("_cell", pa.int64()))
         key_cfg = EngineConfig(key_col="_cell", ts_col=self.cfg.ts_col,
                                type_col=self.cfg.type_col,
                                order_cols=self.cfg.order_cols)

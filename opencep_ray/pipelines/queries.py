@@ -58,8 +58,10 @@ def ensure_signature_tables(sf_dir: str = AUX_SF_DIR):
     regeneration when unchanged), so query and oracle always see the
     same corpus.
 
-    Trust boundary: the per-document signature computation (blake2b token
-    hashing) is shared between the two sides and covered by its own
+    Trust boundary: the per-document signature computation (the v2
+    vectorized polars-hash shingle family — ``pl.Expr.hash`` with seeds
+    13/11, truncated to 30 bits) is shared between the two sides and
+    covered by its own
     pytest properties (planted-duplicate recall, determinism); the SQL
     oracle independently verifies everything downstream — banding,
     bucketing, pair generation, dedup and aggregation — which is where

@@ -89,6 +89,20 @@ class _SimultaneousEvaluator:
             # tree's and are discarded — EXCEPT that the old tree may
             # hold matches emitted since the last drain; those carry over
             # (dropping both copies would lose them).
+            #
+            # The old tree may also hold PENDING unbounded-negation
+            # positives whose first event predates the warm-up start —
+            # the new evaluator never saw those events, so the pendings
+            # exist only in the old state and must be flushed here (the
+            # reference reports them via Tree.get_last_matches at tree
+            # replacement, SimultaneousTreeBasedEvaluationMechanism.py:
+            # 60-66).  Flushing exactly first_ts < start_ts is safe:
+            # window_us is the max over patterns, so ts_us > start_ts +
+            # window_us ≥ first_ts + pattern window — no later negative
+            # can still retro-invalidate them.  Pendings with first_ts
+            # >= start_ts are duplicated in the new evaluator's state
+            # and must NOT be flushed (they would emit twice).
+            self.old.flush_pending_before(self.start_ts)
             self.new.matches.clear()
             self.new.matches.extend(self.old.matches)
             self.old = None

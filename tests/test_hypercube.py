@@ -106,3 +106,31 @@ def test_rejects_kleene_and_negation():
                                  Primitive("view", "b")), window=10),
                      {"a": ("event_id", 2), "b": ("event_id", 2),
                       "x": ("event_id", 2)}, CFG)
+
+
+def test_default_emitter_table_and_dataset(ray_session):
+    """ADVICE r2 (medium): with emitter=None the default MatchesEmitter
+    must declare the synthetic `_cell` key as int64 (it is absent from the
+    input schema), both on the run_table path and the Dataset path."""
+    import ray
+
+    t = _events_table()
+    p = Pattern(And(Primitive("signup", "a"), Primitive("error", "b")),
+                SmallerThanCondition(Col("a", "value"), Col("b", "value")),
+                window=1800)
+    cube = HyperCubeCEP(p, {"a": ("event_id", 2), "b": ("event_id", 3)}, CFG)
+    out = cube.run_table(t)
+    assert out.schema.field("_cell").type == pa.int64()
+    assert out.num_rows > 0
+
+    ds_out = HyperCubeCEP(p, {"a": ("event_id", 2), "b": ("event_id", 3)},
+                          CFG).run(ray.data.from_arrow(t))
+    got = ds_out.to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in got])
+    assert tbl.num_rows == out.num_rows
+
+    def key(tb):
+        return sorted((r["pattern_id"],
+                       tuple(e["event_id"] for e in r["match_events"]))
+                      for r in tb.to_pylist())
+    assert key(tbl) == key(out)

@@ -465,3 +465,72 @@ def test_stream_with_sharing_equals_batch_and_resumes(ray_session,
             for p in glob.glob(os.path.join(d, "part-*.parquet"))}
 
     assert digest(crash_dir) == digest(shared_dir)
+
+
+def test_simultaneous_swap_keeps_old_pending_negation():
+    """ADVICE r2 (high): at warm-up completion the swap must flush the OLD
+    evaluator's pending unbounded-negation positives whose first event
+    predates the warm-up start — the new evaluator never saw those events,
+    so dropping the old state silently loses the match (the reference
+    reports them via Tree.get_last_matches at tree replacement,
+    SimultaneousTreeBasedEvaluationMechanism.py:60-66)."""
+    from opencep_ray.evaluator import ConversationEvaluator, compile_patterns
+    from opencep_ray.streaming import _SimultaneousEvaluator
+
+    # trailing negation ⇒ unbounded: held pending until watermark/EOS
+    pat = Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x"))),
+                  window=10, pattern_id=7)
+    compiled = compile_patterns([pat])
+    W = compiled[0].window_us  # 10 s in µs
+
+    def run(with_swap: bool):
+        old = ConversationEvaluator(compiled)
+        # the pending positive: a lone user turn, never negated
+        old.process({"text": "hi"}, "user", 0)
+        if with_swap:
+            sim = _SimultaneousEvaluator(
+                old, ConversationEvaluator(compiled), W)
+            # warm-up starts at 20 s (> 0 + W: the old pending's window
+            # already passed), completes after one more window
+            sim.process({"text": "t1"}, "assistant", 20_000_000)
+            sim.process({"text": "t2"}, "assistant", 20_000_000 + W + 1)
+            assert sim.new is None, "swap should have happened"
+            ev = sim
+        else:
+            ev = old
+        ev.eos()
+        return [(cp.pattern_id, pm.first_ts) for cp, pm in ev.matches]
+
+    plain = run(with_swap=False)
+    assert plain == [(7, 0)]
+    assert run(with_swap=True) == plain
+
+
+def test_simultaneous_replan_unbounded_negation_end_to_end(
+        ray_session, tmp_path):
+    """End-to-end: a trailing-negation (unbounded) pattern produces the
+    identical match set through replan_mode='simultaneous' as without
+    replanning."""
+    pats = [Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x"))),
+                    window=90, pattern_id=1),
+            Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                    window=120, pattern_id=2)]
+    table = synth_transcripts(100, 14, seed=5)
+    d = tmp_path / "in"
+    d.mkdir()
+    p = str(d / "part-0.parquet")
+    pq.write_table(table, p)
+
+    base_dir = str(tmp_path / "base")
+    StreamingCEP(pats, transcript_config(), num_workers=3) \
+        .run_files([p], base_dir, micro_batch_rows=100)
+    want = canonical(read_matches(base_dir))
+    assert len(want) > 0
+
+    sim_dir = str(tmp_path / "sim")
+    s1 = StreamingCEP(pats, transcript_config(), num_workers=3,
+                      adaptive=True, replan_every=2,
+                      tree_builder="greedy", replan_mode="simultaneous")
+    st = s1.run_files([p], sim_dir, micro_batch_rows=100)
+    assert st["replans"] >= 1
+    assert canonical(read_matches(sim_dir)) == want
