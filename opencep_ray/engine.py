@@ -427,11 +427,17 @@ class _PartitionCEP:
         emit_row = self.emitter.row
         L = self.slice_len_us
         i = 0
+        ev = None
         while i < n:
             key = keys[i]
             cur_slice = int(slices[i]) if slices is not None else -1
             j = i
-            ev = ConversationEvaluator(self.compiled, share=cfg.share)
+            # one evaluator, reset per conversation (pooling: wiring is
+            # conversation-independent and dominates short conversations)
+            if ev is None:
+                ev = ConversationEvaluator(self.compiled, share=cfg.share)
+            else:
+                ev.reset()
             while j < n and keys[j] == key and \
                     (slices is None or slices[j] == cur_slice):
                 payload = {c: v[j] for c, v in col_items}

@@ -121,7 +121,7 @@ class _IndexGetter:
 
 class _LeafSpec:
     __slots__ = ("event_type", "name", "leaf_id", "slot", "conditions",
-                 "negative", "kc_member")
+                 "cond_fast", "negative", "kc_member")
 
     def __init__(self, event_type, name, leaf_id, slot, negative=False,
                  kc_member=False):
@@ -130,6 +130,7 @@ class _LeafSpec:
         self.leaf_id = leaf_id    # unique entry key of this leaf
         self.slot = slot          # precedence slot (KC members share one)
         self.conditions: List[Condition] = []
+        self.cond_fast = None     # compiled payload-direct conjunction
         self.negative = negative
         self.kc_member = kc_member
 
@@ -146,7 +147,7 @@ class _NodeSpec:
                  "min_size", "max_size", "is_unbounded", "is_first_unbounded",
                  "kc_key", "kc_slot", "node_id",
                  "merge_plan", "prec_checks", "needs_dup", "cond_plan",
-                 "eq_probe", "merge_fn", "share_sig")
+                 "cond_fast", "eq_probe", "merge_fn", "share_sig")
 
     def __init__(self, kind, children=(), leaf=None):
         self.kind = kind
@@ -167,6 +168,7 @@ class _NodeSpec:
         self.prec_checks = ()     # tuple[(i, j, check_max)] over merged idx
         self.needs_dup = False    # same event type on both sides?
         self.cond_plan = ()       # tuple[(merged_idx, name)] for bindings
+        self.cond_fast = None     # compiled entries-direct conjunction
         # equality-probe plan: (left_pos, left_attr, right_pos, right_attr)
         # — buffers become hash maps keyed by the join value (the engine's
         # analog of the reference's sorted-storage key probes,
@@ -296,6 +298,12 @@ class CompiledPattern:
             self.entry_names[key] = tuple(kc_ast.arg.event_names()) \
                 if not isinstance(kc_ast.arg, Primitive) \
                 else (kc_ast.arg.name,)
+        # entries are stored key-sorted; when slots increase with keys
+        # (every flat KC-free pattern) the emit path can skip re-sorting
+        _ks = sorted(self.entry_slot)
+        self.entries_slot_ordered = all(
+            self.entry_slot[a] < self.entry_slot[b]
+            for a, b in zip(_ks, _ks[1:]))
 
         # ------------------------------------------------------------------
         # split positive / negative top-level args (base/Pattern.py:65-88 —
@@ -402,6 +410,7 @@ class CompiledPattern:
             if isinstance(s, Primitive):
                 lf = leaf_for(s.name, False)
                 lf.conditions = take_conditions(frozenset([s.name]), False)
+                lf.cond_fast = _compile_leaf_cond_fast(lf.conditions)
                 node = new_node(_NodeSpec.KIND_LEAF, leaf=lf)
                 node.names = frozenset([s.name])
                 return node
@@ -485,6 +494,7 @@ class CompiledPattern:
         for a, unbounded in neg_infos:
             lf = leaf_for(a.arg.name, True)
             lf.conditions = take_conditions(frozenset([lf.name]), False)
+            lf.cond_fast = _compile_leaf_cond_fast(lf.conditions)
             neg_leaf = new_node(_NodeSpec.KIND_LEAF, leaf=lf)
             neg_leaf.names = frozenset([lf.name])
             node = new_node(_NodeSpec.KIND_NEG, (root, neg_leaf))
@@ -696,6 +706,8 @@ class CompiledPattern:
             spec.cond_plan = tuple(
                 (idx, name) for idx, k in enumerate(merged_keys)
                 for name in self.entry_names[k])
+            spec.cond_fast = _compile_cond_fast(spec.conditions,
+                                                spec.cond_plan)
             if spec.kind == _NodeSpec.KIND_JOIN:
                 spec.eq_probe = self._find_eq_probe(spec, lkeys, rkeys)
 
@@ -909,6 +921,39 @@ class ConversationEvaluator:
         self._history = [] if retain_events else None
         self._max_window_us = max(cp.window_us for cp in compiled) \
             if compiled else 0
+
+    def reset(self):
+        """Clears all per-conversation state so the evaluator can be
+        reused for another conversation (object pooling: the tree wiring
+        is conversation-independent; rebuilding it per conversation is
+        the dominant cost for short conversations at scale).  A reset
+        evaluator behaves exactly like a freshly constructed one."""
+        self.matches.clear()
+        self._counter = 0
+        self._agg_counter = 0
+        self.shed_count = 0
+        self._shed_tick = 0
+        self._last_ts = 0
+        if self._shed_rng is not None:
+            # restart the shed RNG stream: identical decisions to fresh
+            self._shed_rng.seed(self.shedding.seed)
+        if self._history is not None:
+            self._history.clear()
+        for tree in self._all_trees:
+            if tree["freezers"]:
+                tree["freezers"].clear()
+            for n in tree["nodes"]:
+                if n.buffers:
+                    for buf in n.buffers:
+                        if isinstance(buf, dict):
+                            buf["d"].clear()
+                            buf["min"] = None
+                        else:
+                            buf.clear()
+                if n.pending is not None:
+                    n.pending.clear()
+                if n.filtered is not None:
+                    n.filtered.clear()
 
     # -- instantiation ------------------------------------------------------
     def _plan_sharing(self, compiled) -> frozenset:
@@ -1293,8 +1338,15 @@ class ConversationEvaluator:
     # -- leaves -------------------------------------------------------------
     def _leaf_accept(self, tree, lf: _LeafSpec, ev: Ev):
         if lf.conditions:
-            binding = {lf.name: ev.payload}
             stats = self.cond_stats
+            if stats is None and lf.cond_fast is not None:
+                if not lf.cond_fast(ev.payload):
+                    return
+                node = tree["leaf_nodes"][lf.leaf_id]
+                pm = PM(((lf.leaf_id, ev),), ev.prob)
+                self._emit(node, pm)
+                return
+            binding = {lf.name: ev.payload}
             for c in lf.conditions:
                 ok = c.eval(binding)
                 if stats is not None:
@@ -1409,25 +1461,33 @@ class ConversationEvaluator:
         buf = node.buffers[0]
         _expire(buf, pm.last_ts - cp.window_us)
         buf.append(pm)
-        newest = buf[-1]
-        rest = buf[:-1]
         max_size = spec.max_size if spec.max_size is not None else len(buf)
+        # each buffered PM's primitive list + prob are combo-invariant:
+        # extract them once per arrival, not once per subset
+        cached = []
+        for spm in buf:
+            prims: List[Ev] = []
+            for _, e in spm.entries:
+                if e.primitives is None:
+                    prims.append(e)
+                else:
+                    prims.extend(e.primitives)
+            cached.append((prims, spm.prob))
+        newest_prims, newest_prob = cached[-1]
+        rest = cached[:-1]
         # subsets containing the newest, descending size
         # (tree/nodes/KleeneClosureNode.py:58-80, misc/Utils.py:234-244)
         for size in range(min(max_size - 1, len(rest)), -1, -1):
             if size + 1 < spec.min_size:
                 break
             for combo in combinations(rest, size):
-                subset = list(combo) + [newest]
-                prims: List[Ev] = []
+                prims = []
                 prob = None
-                for spm in subset:
-                    for _, e in spm.entries:
-                        if e.primitives is None:
-                            prims.append(e)
-                        else:
-                            prims.extend(e.primitives)
-                    prob = _joint_prob(prob, spm.prob)
+                for cprims, cprob in combo:
+                    prims.extend(cprims)
+                    prob = _joint_prob(prob, cprob)
+                prims.extend(newest_prims)
+                prob = _joint_prob(prob, newest_prob)
                 agg = Ev(None, prims[0].type, prims[0].min_ts,
                          self._next_idx(), prob, primitives=prims)
                 merged = ((spec.kc_key, agg),)
@@ -1570,6 +1630,11 @@ class ConversationEvaluator:
                 return None
         # conditions
         if spec.conditions:
+            stats0 = self.cond_stats
+            if stats0 is None and spec.cond_fast is not None:
+                if not spec.cond_fast(entries):
+                    return None
+                return PM(entries, prob, min_ts, max_ts)
             if spec.kind == _NodeSpec.KIND_KC:
                 items = entries[0][1].content()
                 binding = {name: items for name in spec.names}
@@ -1651,7 +1716,7 @@ class ConversationEvaluator:
         """All primitive events of a match, in pattern-slot order (KC items
         in arrival order), matching the reference's match event list."""
         entries = pm.entries
-        if cp is not None:
+        if cp is not None and not cp.entries_slot_ordered:
             slot_of = cp.entry_slot
             entries = sorted(entries, key=lambda t: slot_of[t[0]])
         out = []
@@ -1696,11 +1761,110 @@ def _make_remap(owner_spec: _NodeSpec, other_spec: _NodeSpec):
 
 
 def _expire(buf: List[PM], threshold: int):
-    """Drop partial matches with first_ts < threshold (storage cleanup,
-    tree/PatternMatchStorage.py:70-89; window is re-validated on every match
-    creation so eager cleanup never changes results)."""
+    """Drop the expired prefix (first_ts < threshold) — storage cleanup,
+    tree/PatternMatchStorage.py:70-89.  Buffers are append-ordered, so the
+    oldest PMs cluster at the front; deleting only the contiguous expired
+    prefix is O(expired) instead of a full-list rebuild.  Any expired PM
+    stranded behind a fresh one is dropped once its predecessors expire
+    (threshold is monotone), at most one extra window late — harmless,
+    because the window is re-validated on every match creation."""
     if buf and buf[0].first_ts < threshold:
-        buf[:] = [p for p in buf if p.first_ts >= threshold]
+        n = 1
+        ln = len(buf)
+        while n < ln and buf[n].first_ts < threshold:
+            n += 1
+        del buf[:n]
+
+
+def _compile_cond_fast(conditions, cond_plan):
+    """Compile a node's conjunction into one entries-direct closure —
+    no per-candidate binding dict, no Variable/eval dispatch.  Covers the
+    SimpleCondition family (incl. the relop conditions) whose terms are
+    Variables over this node's bound names or constants; returns None for
+    anything else (KC / composite / unknown), which keeps the generic
+    dict-binding path.  Used only when selectivity instrumentation is off
+    (the stats path needs per-conjunct outcomes)."""
+    if not conditions:
+        return None
+    name_to_idx = {}
+    for idx, name in cond_plan:
+        name_to_idx.setdefault(name, idx)
+    fns = []
+    for c in conditions:
+        # only conditions whose semantics ARE SimpleCondition.eval (a user
+        # subclass overriding eval/_values must keep the generic path)
+        if not isinstance(c, SimpleCondition) \
+                or type(c).eval is not SimpleCondition.eval \
+                or type(c)._values is not SimpleCondition._values:
+            return None
+        relop = c.relation_op
+        getters = []
+        for t in c.terms:
+            if isinstance(t, Variable):
+                idx = name_to_idx.get(t.name)
+                if idx is None:
+                    return None
+                getters.append((idx, t.getattr_func))
+            else:
+                getters.append((None, t))
+        if len(getters) == 2 and getters[0][0] is not None \
+                and getters[1][0] is not None:
+            (i0, g0), (i1, g1) = getters
+
+            def f(entries, relop=relop, i0=i0, g0=g0, i1=i1, g1=g1):
+                return relop(g0(entries[i0][1].content()),
+                             g1(entries[i1][1].content()))
+        else:
+            def f(entries, relop=relop, getters=tuple(getters)):
+                return relop(*[g(entries[i][1].content())
+                               if i is not None else g
+                               for i, g in getters])
+        fns.append(f)
+    if len(fns) == 1:
+        return fns[0]
+
+    def conj(entries, fns=tuple(fns)):
+        for fn in fns:
+            if not fn(entries):
+                return False
+        return True
+    return conj
+
+
+def _compile_leaf_cond_fast(conditions):
+    """Leaf analog of ``_compile_cond_fast``: payload-direct single-event
+    conjunction (the leaf binding is always {name: payload})."""
+    if not conditions:
+        return None
+    fns = []
+    for c in conditions:
+        if not isinstance(c, SimpleCondition) \
+                or type(c).eval is not SimpleCondition.eval \
+                or type(c)._values is not SimpleCondition._values:
+            return None
+        relop = c.relation_op
+        getters = [(t.getattr_func if isinstance(t, Variable) else None, t)
+                   for t in c.terms]
+        if len(getters) == 2:
+            (g0, t0), (g1, t1) = getters
+
+            def f(payload, relop=relop, g0=g0, t0=t0, g1=g1, t1=t1):
+                return relop(g0(payload) if g0 is not None else t0,
+                             g1(payload) if g1 is not None else t1)
+        else:
+            def f(payload, relop=relop, getters=tuple(getters)):
+                return relop(*[g(payload) if g is not None else t
+                               for g, t in getters])
+        fns.append(f)
+    if len(fns) == 1:
+        return fns[0]
+
+    def conj(payload, fns=tuple(fns)):
+        for fn in fns:
+            if not fn(payload):
+                return False
+        return True
+    return conj
 
 
 def _make_merge_fn(plan):

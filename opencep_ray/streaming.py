@@ -163,6 +163,10 @@ class _WorkerCore:
         self.cond_stats: Dict[tuple, list] = {} if retain_events else None
         self.has_unbounded = any(cp.has_unbounded_negation
                                  for cp in compiled)
+        # evicted-evaluator free pool: the tree wiring is
+        # conversation-independent, so a quiescent conversation's
+        # evaluator is reset and reused for the next new conversation
+        self._pool: List[ConversationEvaluator] = []
 
     # -- processing ---------------------------------------------------------
     def process_shard(self, shard: pa.Table) -> pa.Table:
@@ -188,11 +192,16 @@ class _WorkerCore:
             ev_key = key if cur_slice < 0 else (key, cur_slice)
             ev = self.evaluators.get(ev_key)
             if ev is None:
-                ev = ConversationEvaluator(self.compiled,
-                                           retain_events=self.retain_events,
-                                           cond_stats=self.cond_stats,
-                                           shedding=self.shedding,
-                                           share=self.cfg.share)
+                if self._pool:
+                    ev = self._pool.pop()
+                    ev.reset()
+                else:
+                    ev = ConversationEvaluator(
+                        self.compiled,
+                        retain_events=self.retain_events,
+                        cond_stats=self.cond_stats,
+                        shedding=self.shedding,
+                        share=self.cfg.share)
                 self.evaluators[ev_key] = ev
             j = i
             while j < n and keys[j] == key and \
@@ -234,7 +243,11 @@ class _WorkerCore:
             if ev.is_quiescent(wm_us):
                 dead.append(ev_key)
         for ev_key in dead:
-            del self.evaluators[ev_key]
+            ev = self.evaluators.pop(ev_key)
+            # pool plain evaluators only (not mid-warm-up swap pairs);
+            # bounded so the pool never outgrows the live peak
+            if type(ev) is ConversationEvaluator and len(self._pool) < 512:
+                self._pool.append(ev)
         return pa.Table.from_pylist(rows, schema=self.emitter.schema())
 
     def eos(self) -> pa.Table:
@@ -257,6 +270,7 @@ class _WorkerCore:
         (SimultaneousTreeBasedEvaluationMechanism.py:14-92) — no replay
         cost, temporarily double evaluation work."""
         self.compiled = new_compiled
+        self._pool.clear()  # pooled evaluators carry the old plan
         if mode == "replay":
             self.evaluators = {
                 k: ev.rebuilt_with(new_compiled, self.cond_stats)

@@ -84,3 +84,47 @@ def test_stream_empty_and_sparse_files(ray_session, tmp_path):
     assert got.num_rows == want.num_rows
     # workers only see pattern-relevant types (pre-shuffle type filter)
     assert 0 < stats["rows"] <= t1.num_rows
+
+
+def test_evaluator_reset_equals_fresh():
+    """Evaluator pooling: after reset() a reused evaluator reproduces a
+    fresh evaluator's matches exactly — buffers, pendings, counters,
+    policy state and history all cleared."""
+    from opencep_ray import (Kleene, Neg, SimpleCondition, Variable)
+    from opencep_ray.evaluator import ConversationEvaluator, compile_patterns
+    from opencep_ray.sources.transcripts import synth_transcripts, text_v
+
+    patterns = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                SimpleCondition(Variable("a", text_v), Variable("b", text_v),
+                                relation_op=lambda x, y: y > x),
+                window=120, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"),
+                    Kleene(Primitive("assistant", "b"), max_size=3),
+                    Primitive("tool", "c")),
+                window=180, pattern_id=2),
+        Pattern(Seq(Primitive("user", "a"), Neg(Primitive("tool", "x"))),
+                window=90, pattern_id=3),
+    ]
+    compiled = compile_patterns(patterns)
+    table = synth_transcripts(6, 15, seed=11).to_pylist()
+    convs = {}
+    for r in table:
+        convs.setdefault(r["conv_id"], []).append(r)
+
+    def feed(ev, rows):
+        for r in rows:
+            ts = int(r["ts"].timestamp() * 1e6)
+            ev.process(dict(r), r["role"], ts)
+        ev.eos()
+        return [(cp.pattern_id, pm.first_ts, pm.last_ts,
+                 tuple(k for k, _ in pm.entries))
+                for cp, pm in ev.matches]
+
+    reused = ConversationEvaluator(compiled, retain_events=True)
+    for cid in sorted(convs):
+        fresh = ConversationEvaluator(compiled, retain_events=True)
+        want = feed(fresh, convs[cid])
+        reused.reset()
+        got = feed(reused, convs[cid])
+        assert got == want and len(want) >= 0
