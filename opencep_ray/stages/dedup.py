@@ -343,14 +343,27 @@ class _ShingleSets:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sets = [np.unique(self.hasher.shingle_hashes(t or ""))
-                for t in batch[self.col].to_pylist()]
+        # one vectorized hash pass over the whole batch (the hasher takes
+        # the Arrow column directly), then split per doc by the returned
+        # doc bounds — no per-document polars construction (ADVICE r2)
+        n = batch.num_rows
+        docs, h = self.hasher._gram_hashes(batch[self.col])
+        # per-doc sorted unique hash values (== np.unique per doc)
+        order = np.lexsort((h, docs))
+        docs, h = docs[order], h[order]
+        if len(h):
+            keep = np.ones(len(h), dtype=bool)
+            np.logical_or(docs[1:] != docs[:-1], h[1:] != h[:-1],
+                          out=keep[1:])
+            docs, h = docs[keep], h[keep]
+        bounds = np.searchsorted(docs, np.arange(n + 1))
+        sh = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()),
+                                      pa.array(h, pa.int64()))
         return pa.table({
             self.id_col: batch[self.id_col],
-            "_sh": pa.array([s.tolist() for s in sets],
-                            pa.list_(pa.int64())),
-            "_pa": pa.array([None] * len(batch), pa.int64()),
-            "_pb": pa.array([None] * len(batch), pa.int64()),
+            "_sh": sh,
+            "_pa": pa.array([None] * n, pa.int64()),
+            "_pb": pa.array([None] * n, pa.int64()),
         })
 
 
