@@ -21,6 +21,17 @@ import os
 import sys
 import time
 
+# Allocator hygiene, set BEFORE ray.init so every Ray worker inherits it:
+# Arrow buffers go through glibc with trimming/mmap disabled for large
+# blocks, so freed batch buffers are reused in-process instead of being
+# returned to the kernel and re-faulted.  Under a memory cgroup every
+# page unmap/remap pays contended memcg accounting; at 24 concurrent
+# workers this measured 224 s of worker SYSTEM time per run (vs 9.6 s at
+# 6 workers) before this, 157 s after — see BASELINE.md §2.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "30000"))
@@ -102,8 +113,10 @@ def q_cep_stream():
     s = StreamingCEP(patterns, transcript_config(),
                      num_workers=max(2, (NUM_CPUS * 3) // 4),
                      checkpoint_every=10 ** 9)
-    stats = s.run_files(files, out, micro_batch_rows=300_000,
-                        max_in_flight=8)
+    stats = s.run_files(
+        files, out,
+        micro_batch_rows=int(os.environ.get("GRAFT_MB_ROWS", "300000")),
+        max_in_flight=int(os.environ.get("GRAFT_MAX_IN_FLIGHT", "8")))
     global LAST_STREAM_STATS
     LAST_STREAM_STATS = stats
     print(f"cep_stream detail: {stats}", file=sys.stderr)

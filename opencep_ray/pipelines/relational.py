@@ -78,17 +78,22 @@ def pricing_summary(lineitem: Dataset, cutoff: str = "1998-09-01") -> Dataset:
 
 class _SegmentLookup:
     """Broadcast hash-join probe: customer → mktsegment, fetched once per
-    actor from the object store."""
+    actor from the object store; the per-batch probe is one vectorized
+    polars hash join (no per-row Python)."""
 
     def __init__(self, seg_ref):
-        self.seg = ray.get(seg_ref)
+        import polars as pl
+        seg_tbl = ray.get(seg_ref)  # small arrow table, broadcast once
+        self.seg_df = (pl.from_arrow(seg_tbl)
+                       .with_columns(pl.col("c_custkey").cast(pl.Int64)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import polars as pl
-        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = np.array([self.seg.get(int(c), "UNKNOWN") for c in cust])
         df = (pl.from_arrow(batch)
-              .with_columns(pl.Series("c_mktsegment", segs)))
+              .with_columns(pl.col("o_custkey").cast(pl.Int64))
+              .join(self.seg_df, left_on="o_custkey",
+                    right_on="c_custkey", how="left")
+              .with_columns(pl.col("c_mktsegment").fill_null("UNKNOWN")))
         return (df.group_by("c_mktsegment")
                 .agg([(pl.col("o_totalprice") * 1_000_000).round(0)
                       .cast(pl.Int64).sum().alias("_rev"),
@@ -100,8 +105,7 @@ def segment_revenue(orders: Dataset, customer: Dataset) -> Dataset:
     """Total order revenue per customer market segment (broadcast join +
     partial aggregation)."""
     cust = customer.select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"].astype(int),
-                               cust["c_mktsegment"])))
+    seg_ref = ray.put(pa.Table.from_pandas(cust, preserve_index=False))
     partials = orders.map_batches(_SegmentLookup, batch_format="pyarrow",
                                   fn_constructor_args=(seg_ref,),
                                   concurrency=(1, 8))

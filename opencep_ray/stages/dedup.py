@@ -616,33 +616,42 @@ class _BlockJaccard:
         self.__name__ = "BlockJaccard"
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        ids = group[self.id_col].to_pylist()
+        ids = np.asarray(group[self.id_col].to_pylist(), dtype=np.int64)
         texts = group[self.col].to_pylist()
-        grams = []
-        for t in texts:
+        m = len(ids)
+        # per-doc gram SETS (Python per doc, not per pair); the O(m²)
+        # pair scoring below is one incidence-matrix matmul
+        doc_idx: list = []
+        gram_list: list = []
+        for d, t in enumerate(texts):
             toks = (t or "").split(" ")
             if len(toks) < self.n:
-                grams.append(frozenset([t or ""]))
+                gs = {t or ""}
             else:
-                grams.append(frozenset(
-                    " ".join(toks[i:i + self.n])
-                    for i in range(len(toks) - self.n + 1)))
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        a_out, b_out, j_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                union = len(grams[i] | grams[j])
-                jac = len(grams[i] & grams[j]) / union if union else 0.0
-                if jac >= self.threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    # exact ratio of identical ints on both sides: no
-                    # rounding needed (and rounding-mode-safe)
-                    j_out.append(jac)
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+                gs = {" ".join(toks[i:i + self.n])
+                      for i in range(len(toks) - self.n + 1)}
+            doc_idx.extend([d] * len(gs))
+            gram_list.extend(gs)
+        uniq, gram_ids = np.unique(np.asarray(gram_list, dtype=object),
+                                   return_inverse=True)
+        inc = np.zeros((m, len(uniq)), dtype=np.float32)
+        inc[np.asarray(doc_idx, dtype=np.int64), gram_ids] = 1.0
+        # float32 matmul holds exact integer counts (≪ 2^24)
+        inter = (inc @ inc.T).astype(np.int64)
+        sizes = inc.sum(axis=1).astype(np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        # exact ratio of identical ints on both sides: no rounding
+        # needed (and rounding-mode-safe)
+        jac = inter / np.maximum(union, 1)
+        order = np.argsort(ids, kind="stable")
+        jac_o = jac[np.ix_(order, order)]
+        ids_o = ids[order]
+        xi, yi = np.triu_indices(m, k=1)
+        keep = jac_o[xi, yi] >= self.threshold
+        return pa.table({"id_a": pa.array(ids_o[xi[keep]], pa.int64()),
+                         "id_b": pa.array(ids_o[yi[keep]], pa.int64()),
+                         "jaccard": pa.array(jac_o[xi, yi][keep],
+                                             pa.float64())})
 
 
 def ngram_jaccard_blocked(ds: Dataset, block_col: str, col: str = "text",
@@ -671,16 +680,17 @@ class _BlockCosine:
         unit = mat / norms[:, None]
         sims = unit @ unit.T
         order = np.argsort(ids, kind="stable")
-        a_out, b_out, s_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if sims[i, j] >= self.threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    s_out.append(round(float(sims[i, j]), 6))
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
+        sims_o = sims[np.ix_(order, order)]
+        ids_o = np.asarray(ids)[order]
+        xi, yi = np.triu_indices(len(order), k=1)
+        keep = sims_o[xi, yi] >= self.threshold
+        # vectorized pair selection; Python round() only over the few
+        # survivors to keep bit-parity with correctly-rounded round()
+        s_out = [round(float(v), 6) for v in sims_o[xi, yi][keep]]
+        return pa.table({"id_a": pa.array(ids_o[xi[keep]].astype(np.int64),
+                                          pa.int64()),
+                         "id_b": pa.array(ids_o[yi[keep]].astype(np.int64),
+                                          pa.int64()),
                          "cosine": pa.array(s_out, pa.float64())})
 
 

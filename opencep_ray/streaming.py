@@ -156,6 +156,7 @@ class _WorkerCore:
         self.watermark_us = None
         self.rows_processed = 0
         self.busy_sec = 0.0
+        self.cpu_sec = 0.0
         self.type_counts: Dict[str, int] = {}
         # {(pattern_id, conjunct_idx): [successes, total]} — selectivity
         # instrumentation (condition/Condition.py:119-125 analog); only
@@ -173,6 +174,7 @@ class _WorkerCore:
         """Evaluates one routed shard, returning the matches table."""
         import time as _t
         _t0 = _t.perf_counter()
+        _c0 = _t.process_time()
         from .engine import extract_sorted_columns
         keys, slices, types, ts_us, probs, col_items = \
             extract_sorted_columns(shard, self.cfg)
@@ -215,6 +217,7 @@ class _WorkerCore:
         self.rows_processed += n
         out = pa.Table.from_pylist(rows, schema=self.emitter.schema())
         self.busy_sec += _t.perf_counter() - _t0
+        self.cpu_sec += _t.process_time() - _c0
         return out
 
     def _drain(self, key, cur_slice: int, ev: ConversationEvaluator,
@@ -382,8 +385,15 @@ class _StreamWorker:
         return True
 
     def stats(self) -> dict:
+        import resource
+        ru = resource.getrusage(resource.RUSAGE_SELF)
         return {"rows": self.core.rows_processed,
                 "busy_sec": round(self.core.busy_sec, 3),
+                "cpu_sec": round(self.core.cpu_sec, 3),
+                "utime": round(ru.ru_utime, 3),
+                "stime": round(ru.ru_stime, 3),
+                "minflt": ru.ru_minflt,
+                "nivcsw": ru.ru_nivcsw,
                 "live_conversations": len(self.core.evaluators),
                 "shed_partials": sum(ev.shed_count for ev in
                                      self.core.evaluators.values())}
@@ -403,7 +413,12 @@ class _Router:
         self.prep = _Prep(cfg, types_needed, num_workers, max_window_us,
                           type_prefilters)
 
-    def __call__(self, batch: pa.Table) -> List[pa.Table]:
+    def route_sorted(self, batch: pa.Table):
+        """(partition-sorted table, worker offsets): one shared table the
+        workers slice zero-copy by their own id.  Serializing ONE object
+        instead of W compacted slices halves the route task's memcpy and
+        object-store page traffic (each slice's buffers would be copied
+        compactly at serialization)."""
         import numpy as np
         batch = self.prep(batch)
         part_np = batch["_part"].to_numpy()
@@ -412,7 +427,11 @@ class _Router:
         counts = np.bincount(part_np[order], minlength=self.W)
         offsets = np.zeros(self.W + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
-        return [sorted_batch.slice(offsets[w], counts[w])
+        return sorted_batch.drop_columns(["_part"]), offsets.tolist()
+
+    def __call__(self, batch: pa.Table) -> List[pa.Table]:
+        sorted_batch, offsets = self.route_sorted(batch)
+        return [sorted_batch.slice(offsets[w], offsets[w + 1] - offsets[w])
                 for w in range(self.W)]
 
 
@@ -421,8 +440,21 @@ def _route_task(slices, router: "_Router", columns=None):
     """Reads one micro-batch (a list of (path, row_group, lo, hi) slices)
     and hash-routes it into worker shards.  Runs as a parallel task;
     returns ``W`` shard tables plus the batch's max timestamp
-    (num_returns = W + 1).  ``columns`` prunes the read to the columns
-    the patterns/payload contract actually needs."""
+    (num_returns = W + 1).  Per-worker slice objects beat one shared
+    sorted-table object: with a shared object every worker maps and
+    page-faults the WHOLE batch (24× the page-table/TLB kernel work per
+    batch — measured 2× worse end-to-end), while slice objects give each
+    worker exactly its own bytes.  ``columns`` prunes the read to the
+    columns the patterns/payload contract actually needs.
+
+    Arrow's thread pool is capped to match the task's CPU reservation:
+    left at the default (one pool thread per PHYSICAL core), each in-flight
+    route task's read/sort/take would fan out to every core and preempt the
+    worker actors — measured as a 1.77× worker-CPU inflation at 24 workers
+    on a 32-core box (the 8→32 scaling regression; BASELINE.md §2)."""
+    if pa.cpu_count() > 2:
+        pa.set_cpu_count(2)
+        pa.set_io_thread_count(2)
     parts = []
     for path, rg, lo, hi in slices:
         parts.append(pq.ParquetFile(path)
@@ -631,17 +663,27 @@ class StreamingCEP:
         batch_id = 0
         cur: List[tuple] = []
         cur_rows = 0
+
+        def target(bid: int) -> int:
+            # ramp-up: the first batches are small so the actor pool
+            # starts evaluating after a fraction of a full route latency
+            # (a full-size first batch left every worker idle for the
+            # whole first read+route, a measured 2-3 s bubble at 24
+            # workers).  Deterministic in batch id, so resume replays
+            # the identical plan.
+            return max(1, micro_batch_rows >> max(0, 3 - bid))
+
         for path in files:
             md = pq.ParquetFile(path).metadata
             for rg in range(md.num_row_groups):
                 n = md.row_group(rg).num_rows
                 lo = 0
                 while lo < n:
-                    take = min(micro_batch_rows - cur_rows, n - lo)
+                    take = min(target(batch_id) - cur_rows, n - lo)
                     cur.append((path, rg, lo, lo + take))
                     cur_rows += take
                     lo += take
-                    if cur_rows >= micro_batch_rows:
+                    if cur_rows >= target(batch_id):
                         yield batch_id, cur
                         batch_id += 1
                         cur, cur_rows = [], 0
@@ -690,11 +732,6 @@ class StreamingCEP:
             print(f"[stream] resuming after batch {start_after}",
                   file=sys.stderr)
 
-        # force actor construction now so setup cost is attributable
-        # (long-lived pool on a real cluster ≠ per-job cost)
-        ray.get([w.stats.remote() for w in workers])
-        t_ready = _time.perf_counter()
-
         # All actor calls for a batch (process → watermark-flush →
         # snapshot) are submitted IN ORDER at submission time: actor task
         # queues guarantee the snapshot captures exactly the state as of
@@ -742,14 +779,40 @@ class StreamingCEP:
         # fractional CPU: route tasks interleave with the actor pool even
         # when workers reserve nearly every scheduling slot
         route = _route_task.options(num_returns=W + 1, num_cpus=0.5)
-        for batch_id, slices in self._micro_batch_plan(
-                files, micro_batch_rows):
-            if batch_id <= start_after:
-                continue
-            # read + hash-route in a parallel task; shards flow to the
-            # workers by object reference (never through the driver)
-            *shard_refs, max_ts_ref = route.remote(slices, router,
-                                                   read_columns)
+
+        # decoupled route-ahead: keep up to ``max_in_flight`` batches
+        # routed (or routing) ahead of worker submission, and pre-pump
+        # the first window so the reads overlap actor construction —
+        # routing is plan-independent (hash by key + static prefilters),
+        # so routing ahead of a replan point is semantics-neutral
+        plan_iter = iter(self._micro_batch_plan(files, micro_batch_rows))
+        routed: List[tuple] = []  # (batch_id, shard_refs, max_ts_ref)
+        plan_done = False
+
+        def pump_routes():
+            nonlocal plan_done
+            while not plan_done and len(routed) < max_in_flight:
+                try:
+                    b, slices = next(plan_iter)
+                except StopIteration:
+                    plan_done = True
+                    break
+                if b <= start_after:
+                    continue
+                *shard_refs, max_ts_ref = route.remote(slices, router,
+                                                       read_columns)
+                routed.append((b, shard_refs, max_ts_ref))
+
+        pump_routes()
+        # force actor construction now so setup cost is attributable
+        # (long-lived pool on a real cluster ≠ per-job cost); the first
+        # routes are already reading concurrently
+        ray.get([w.stats.remote() for w in workers])
+        t_ready = _time.perf_counter()
+
+        while routed:
+            batch_id, shard_refs, max_ts_ref = routed.pop(0)
+            pump_routes()
             refs = [workers[w].process.remote(shard_refs[w], batch_id)
                     for w in range(W)]
             wm_refs = None

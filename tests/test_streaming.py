@@ -84,7 +84,11 @@ def test_resume_byte_identical(ray_session, input_files, tmp_path):
     class CrashingStream(StreamingCEP):
         def _micro_batch_plan(self, files_, rows):
             for item in super()._micro_batch_plan(files_, rows):
-                if item[0] >= 7:
+                # crash late enough that a checkpoint has been
+                # committed: the driver routes max_in_flight batches
+                # ahead of submission, so plan consumption leads drains
+                # by up to 2x max_in_flight batches
+                if item[0] >= 12:
                     raise RuntimeError("simulated crash")
                 yield item
 
@@ -366,7 +370,11 @@ def test_resume_byte_identical_adaptive(ray_session, input_files, tmp_path):
     class CrashingStream(StreamingCEP):
         def _micro_batch_plan(self, files_, rows):
             for item in super()._micro_batch_plan(files_, rows):
-                if item[0] >= 7:
+                # crash late enough that a checkpoint has been
+                # committed: the driver routes max_in_flight batches
+                # ahead of submission, so plan consumption leads drains
+                # by up to 2x max_in_flight batches
+                if item[0] >= 12:
                     raise RuntimeError("simulated crash")
                 yield item
 
@@ -448,7 +456,11 @@ def test_stream_with_sharing_equals_batch_and_resumes(ray_session,
     class CrashingStream(StreamingCEP):
         def _micro_batch_plan(self, files_, rows):
             for item in super()._micro_batch_plan(files_, rows):
-                if item[0] >= 7:
+                # crash late enough that a checkpoint has been
+                # committed: the driver routes max_in_flight batches
+                # ahead of submission, so plan consumption leads drains
+                # by up to 2x max_in_flight batches
+                if item[0] >= 12:
                     raise RuntimeError("simulated crash")
                 yield item
 
