@@ -110,9 +110,13 @@ def q_cep_stream():
     # CPUs; the remaining 1/4 is proportional headroom for route tasks +
     # driver), so the two scaling levels compare like-for-like: 4 CPUs →
     # 3 workers, 16 → 12, 32 → 24
+    # the synthetic transcripts log is conversation-contiguous (one
+    # contiguous row range per conv_id), so workers may flush + recycle
+    # evaluators for conversations absent from the current batch
     s = StreamingCEP(patterns, transcript_config(),
                      num_workers=max(2, (NUM_CPUS * 3) // 4),
-                     checkpoint_every=10 ** 9)
+                     checkpoint_every=10 ** 9,
+                     key_contiguous_input=True)
     stats = s.run_files(
         files, out,
         micro_batch_rows=int(os.environ.get("GRAFT_MB_ROWS", "300000")),

@@ -144,13 +144,21 @@ class _WorkerCore:
 
     def __init__(self, compiled: List[CompiledPattern], cfg: EngineConfig,
                  emitter, slice_len_us: int = 1,
-                 retain_events: bool = False, shedding=None):
+                 retain_events: bool = False, shedding=None,
+                 key_contiguous: bool = False):
         self.compiled = compiled
         self.cfg = cfg
         self.emitter = emitter
         self.slice_len_us = slice_len_us
         self.retain_events = retain_events  # enables replan-with-replay
         self.shedding = shedding            # optional overload valve
+        # key-contiguous source contract: each key's rows occupy one
+        # contiguous range of the stream, so a key absent from the
+        # current shard can never reappear — its evaluator is flushed
+        # (per-conversation end-of-stream) and recycled at shard end.
+        # Bounds worker state to the keys straddling a batch boundary
+        # instead of every key ever seen.
+        self.key_contiguous = key_contiguous
         # keyed by (conv_id, slice); slice is -1 for non-hot keys
         self.evaluators: Dict[object, ConversationEvaluator] = {}
         self.watermark_us = None
@@ -214,6 +222,28 @@ class _WorkerCore:
                 j += 1
             self._drain(key, cur_slice, ev, rows)
             i = j
+        if self.key_contiguous:
+            # every key not in this shard is complete: flush its pending
+            # matches (per-conversation EOS — identical to what stream
+            # EOS would emit later) and recycle the evaluator.
+            # Deterministic per batch, so checkpoint resume replays the
+            # identical eviction sequence and output.
+            seen = set()
+            if slices is None:
+                seen.update(keys)
+            else:
+                for i2 in range(n):
+                    s = int(slices[i2])
+                    seen.add(keys[i2] if s < 0 else (keys[i2], s))
+            dead = [ek for ek in self.evaluators if ek not in seen]
+            for ek in dead:
+                ev = self.evaluators.pop(ek)
+                ev.eos()
+                conv, sl = ek if isinstance(ek, tuple) else (ek, -1)
+                self._drain(conv, sl, ev, rows)
+                if type(ev) is ConversationEvaluator \
+                        and len(self._pool) < 512:
+                    self._pool.append(ev)
         self.rows_processed += n
         out = pa.Table.from_pylist(rows, schema=self.emitter.schema())
         self.busy_sec += _t.perf_counter() - _t0
@@ -328,7 +358,7 @@ class _StreamWorker:
 
     def __init__(self, worker_id, compiled, cfg, emitter, output_dir,
                  slice_len_us: int = 1, retain_events: bool = False,
-                 shedding=None):
+                 shedding=None, key_contiguous: bool = False):
         # one scheduling slot = one core: pin Arrow's internal pool so a
         # worker can't silently use cores beyond its num_cpus reservation
         # (keeps the two-parallelism-level scaling measurement honest)
@@ -337,7 +367,7 @@ class _StreamWorker:
         self.worker_id = worker_id
         self.output_dir = output_dir
         self.core = _WorkerCore(compiled, cfg, emitter, slice_len_us,
-                                retain_events, shedding)
+                                retain_events, shedding, key_contiguous)
 
     def _write(self, table: pa.Table, batch_id: int, suffix: str = "") -> int:
         if table.num_rows == 0:
@@ -489,7 +519,8 @@ class StreamingCEP:
                  tree_builder: str = "greedy", shedding=None,
                  deviation_threshold: Optional[float] = None,
                  replan_mode: str = "replay",
-                 invariant_aware: bool = False):
+                 invariant_aware: bool = False,
+                 key_contiguous_input: bool = False):
         from .pattern import Pattern
         self.cfg = cfg or EngineConfig()
         self._patterns = [patterns] if isinstance(patterns, Pattern) \
@@ -502,6 +533,10 @@ class StreamingCEP:
         self.emitter = emitter
         self.checkpoint_every = checkpoint_every
         self.ts_ordered_input = ts_ordered_input
+        # key-contiguous source contract (e.g. a log bucketed per
+        # conversation): evaluators for keys absent from the current
+        # batch are flushed + recycled at batch end (_WorkerCore)
+        self.key_contiguous_input = key_contiguous_input
         # runtime adaptivity (reference §2.6): collect arrival rates in the
         # workers, periodically recompile the evaluation order and swap it
         # in with replay — results are plan-invariant, only cost changes
@@ -710,7 +745,8 @@ class StreamingCEP:
         workers = [_StreamWorker.remote(w, self.compiled, self.cfg, emitter,
                                         output_dir,
                                         router.prep.slice_len_us,
-                                        self.adaptive, self.shedding)
+                                        self.adaptive, self.shedding,
+                                        self.key_contiguous_input)
                    for w in range(self.num_workers)]
 
         start_after = -1

@@ -119,6 +119,24 @@ def test_multimodal_plumbing(ray_session):
     assert len(frames) == 96
 
 
+def test_multimodal_stub_pinned_values():
+    """The deterministic fake decode has no SQL oracle (no codecs in the
+    container), so pin its exact output for seed 2: any regression in the
+    blake2b-derived feature path fails here (VERDICT r2 item 7)."""
+    import hashlib
+    from opencep_ray.stages.multimodal import DecodeImage, synth_media
+    media = synth_media(4, seed=2)
+    d = DecodeImage()
+    f0 = d.features(media["payload"][0].as_py())
+    assert [round(float(v), 8) for v in f0[:4]] == \
+        [0.62337613, 0.96101189, 0.47200775, 0.27689466]
+    allf = np.concatenate([d.features(media["payload"][i].as_py())
+                           for i in range(4)])
+    assert round(float(allf.sum()), 6) == 30.723312
+    assert hashlib.blake2b(allf.tobytes(), digest_size=8).hexdigest() \
+        == "c58a98e54a4d5d6a"
+
+
 def test_session_windows_with_sums(ray_session):
     import ray.data as rd
     from opencep_ray.stages.windows import session_windows

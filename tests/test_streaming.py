@@ -69,6 +69,63 @@ def test_stream_equals_batch(ray_session, input_files, tmp_path):
     assert stats["rows"] > 0
 
 
+def test_stream_key_contiguous_equals_batch(ray_session, input_files,
+                                            tmp_path):
+    """key_contiguous_input: identical results, bounded worker state (only
+    keys straddling the final batch stay live at end-of-stream)."""
+    files, table = input_files
+    out_dir = str(tmp_path / "out")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                     key_contiguous_input=True)
+    stats = s.run_files(files, out_dir, micro_batch_rows=200)
+    got = canonical(read_matches(out_dir))
+
+    cep = CEP(PATTERNS, transcript_config(num_partitions=5))
+    want = canonical(cep.run_table(table))
+    assert got == want
+    assert len(got) > 0
+    # state bound: far fewer than the 120 conversations stay live
+    assert stats["live_conversations"] <= 10
+
+
+def test_stream_key_contiguous_resume(ray_session, input_files, tmp_path):
+    """Eviction is deterministic per batch: crash/resume stays
+    byte-identical under key_contiguous_input."""
+    files, table = input_files
+    full_dir = str(tmp_path / "full")
+    mk = lambda: StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                              checkpoint_every=2, key_contiguous_input=True)
+    mk().run_files(files, full_dir, micro_batch_rows=150)
+    full = canonical(read_matches(full_dir))
+
+    crash_dir = str(tmp_path / "crash")
+
+    class CrashingStream(StreamingCEP):
+        def _micro_batch_plan(self, files_, rows):
+            for item in super()._micro_batch_plan(files_, rows):
+                if item[0] >= 12:
+                    raise RuntimeError("simulated crash")
+                yield item
+
+    s2 = CrashingStream(PATTERNS, transcript_config(), num_workers=3,
+                        checkpoint_every=2, key_contiguous_input=True)
+    with pytest.raises(RuntimeError):
+        s2.run_files(files, crash_dir, micro_batch_rows=150)
+    mk().run_files(files, crash_dir, micro_batch_rows=150, resume=True)
+    assert canonical(read_matches(crash_dir)) == full
+
+    full_files = sorted(os.path.basename(p) for p in
+                        glob.glob(os.path.join(full_dir, "part-*.parquet")))
+    crash_files = sorted(os.path.basename(p) for p in
+                         glob.glob(os.path.join(crash_dir,
+                                                "part-*.parquet")))
+    assert full_files == crash_files
+    for name in full_files:
+        a = pq.read_table(os.path.join(full_dir, name))
+        b = pq.read_table(os.path.join(crash_dir, name))
+        assert a.equals(b), f"content mismatch in {name}"
+
+
 def test_resume_byte_identical(ray_session, input_files, tmp_path):
     files, table = input_files
     full_dir = str(tmp_path / "full")
