@@ -41,10 +41,12 @@ Parity contract implemented here (reference file:line in parentheses):
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
 from itertools import combinations
 from typing import Dict, List, Optional, Tuple
 
-from .conditions import Condition, SimpleCondition, TrueCondition, Variable
+from .conditions import (Condition, RelopTypes, SimpleCondition,
+                         TrueCondition, Variable)
 from .pattern import (Composite, Kleene, Neg, Or, Pattern, Primitive,
                       SelectionStrategy, Seq)
 
@@ -147,8 +149,8 @@ class _NodeSpec:
                  "min_size", "max_size", "is_unbounded", "is_first_unbounded",
                  "kc_key", "kc_slot", "node_id",
                  "merge_plan", "prec_checks", "needs_dup", "cond_plan",
-                 "cond_fast", "pair_fast", "eq_probe", "merge_fn",
-                 "share_sig")
+                 "cond_fast", "pair_fast", "eq_probe", "range_probe",
+                 "merge_fn", "share_sig")
 
     def __init__(self, kind, children=(), leaf=None):
         self.kind = kind
@@ -176,6 +178,11 @@ class _NodeSpec:
         # analog of the reference's sorted-storage key probes,
         # tree/PatternMatchStorage.py:173-283)
         self.eq_probe = None
+        # inequality-probe plan: (left_pos, left_getter, right_pos,
+        # right_getter, relop) — buffers become value-sorted lists with
+        # bisect range probes (the reference's sorted-storage ``get``
+        # slices for >, ≥, <, ≤, tree/PatternMatchStorage.py:263-283)
+        self.range_probe = None
         self.merge_fn = None      # shape-specialized merge closure
         self.share_sig = None     # structural signature for multi-pattern
                                   # sharing (None = not shareable)
@@ -712,6 +719,9 @@ class CompiledPattern:
                                                 spec.cond_plan)
             if spec.kind == _NodeSpec.KIND_JOIN:
                 spec.eq_probe = self._find_eq_probe(spec, lkeys, rkeys)
+                if spec.eq_probe is None:
+                    spec.range_probe = self._find_range_probe(spec, lkeys,
+                                                              rkeys)
                 spec.pair_fast = _compile_pair_fast(spec)
 
         compile_node(self.root)
@@ -758,6 +768,48 @@ class CompiledPattern:
                 return (lkeys.index(lk), la, rkeys.index(rk), ra)
             if rk in lkeys and lk in rkeys:
                 return (lkeys.index(rk), ra, rkeys.index(lk), la)
+        return None
+
+    def _find_range_probe(self, spec: _NodeSpec, lkeys: tuple, rkeys: tuple):
+        """Finds an inequality condition relop(a.x, b.y) linking one
+        primitive leaf on each side of the join — enables value-sorted
+        buffers with bisect range probes instead of linear scans (the
+        reference's SortedPatternMatchStorage ``get`` slices,
+        tree/PatternMatchStorage.py:263-283).  Pure pruning: the probe
+        returns a candidate superset w.r.t. every OTHER conjunct, and the
+        full condition still runs per candidate, so results are identical
+        to the linear path."""
+        from .conditions import (_FLIP_RELOP, BaseRelationCondition,
+                                 RelopTypes, Variable)
+        ineq = (RelopTypes.Greater, RelopTypes.GreaterEqual,
+                RelopTypes.Smaller, RelopTypes.SmallerEqual)
+        n_leaves = len(self.leaves)
+        name_to_leafkey = {}
+        for lf in self.leaves:
+            name_to_leafkey[lf.name] = lf.leaf_id
+        for c in spec.conditions:
+            if not isinstance(c, BaseRelationCondition) \
+                    or c.relop not in ineq:
+                continue
+            left, right = c.left, c.right
+            if not (isinstance(left, Variable)
+                    and isinstance(right, Variable)):
+                continue
+            lg, rg = left.getattr_func, right.getattr_func
+            if lg is None or rg is None:
+                continue
+            lk = name_to_leafkey.get(left.name)
+            rk = name_to_leafkey.get(right.name)
+            # leaf-id membership in the child key tuples also guarantees
+            # the entry is a primitive event (KC aggregates use entry keys
+            # above every leaf id), so the getter sees a payload dict
+            if lk is None or rk is None or lk >= n_leaves or rk >= n_leaves:
+                continue
+            if lk in lkeys and rk in rkeys:
+                return (lkeys.index(lk), lg, rkeys.index(rk), rg, c.relop)
+            if rk in lkeys and lk in rkeys:
+                return (lkeys.index(rk), rg, rkeys.index(lk), lg,
+                        _FLIP_RELOP[c.relop])
         return None
 
 
@@ -949,7 +1001,12 @@ class ConversationEvaluator:
                 if n.buffers:
                     for buf in n.buffers:
                         if isinstance(buf, dict):
-                            buf["d"].clear()
+                            if "d" in buf:
+                                buf["d"].clear()
+                            else:
+                                buf["k"].clear()
+                                buf["p"].clear()
+                                buf["adds"] = 0
                             buf["min"] = None
                         else:
                             buf.clear()
@@ -1038,6 +1095,8 @@ class ConversationEvaluator:
             if kind == KIND_JOIN and spec.eq_probe is not None:
                 node.buffers = [{"d": {}, "min": None},
                                 {"d": {}, "min": None}]
+            elif kind == KIND_JOIN and spec.range_probe is not None:
+                node.buffers = [_rb_new(), _rb_new()]
             elif kind == KIND_JOIN or kind == KIND_NEG:
                 node.buffers = [[], []]
             elif kind == KIND_KC:
@@ -1084,6 +1143,9 @@ class ConversationEvaluator:
             # hash-probed buffers keyed by the equality join value
             node.buffers = [{"d": {}, "min": None},
                             {"d": {}, "min": None}]
+        elif spec.kind == _NodeSpec.KIND_JOIN \
+                and spec.range_probe is not None:
+            node.buffers = [_rb_new(), _rb_new()]
         elif spec.kind in (_NodeSpec.KIND_JOIN, _NodeSpec.KIND_NEG):
             node.buffers = [[], []]
         elif spec.kind == _NodeSpec.KIND_KC:
@@ -1239,8 +1301,11 @@ class ConversationEvaluator:
         total = 0
         for buf in self._iter_buffers(sheddable_only=True):
             if isinstance(buf, dict):
-                for lst in buf["d"].values():
-                    total += len(lst)
+                if "d" in buf:
+                    for lst in buf["d"].values():
+                        total += len(lst)
+                else:
+                    total += len(buf["p"])
             else:
                 total += len(buf)
         return total
@@ -1266,8 +1331,13 @@ class ConversationEvaluator:
         scored = []
         for buf in self._iter_buffers(sheddable_only=True):
             if isinstance(buf, dict):
-                for lst in buf["d"].values():
-                    scored.extend((self._utility(p), id(p)) for p in lst)
+                if "d" in buf:
+                    for lst in buf["d"].values():
+                        scored.extend((self._utility(p), id(p))
+                                      for p in lst)
+                else:
+                    scored.extend((self._utility(p), id(p))
+                                  for p in buf["p"])
             else:
                 scored.extend((self._utility(p), id(p)) for p in buf)
         scored.sort(key=lambda t: t[0])
@@ -1275,18 +1345,27 @@ class ConversationEvaluator:
         drop = {pid for _, pid in scored[:n_drop]}
         for buf in self._iter_buffers(sheddable_only=True):
             if isinstance(buf, dict):
-                d = buf["d"]
-                new_min = None
-                for val in list(d):
-                    lst = [p for p in d[val] if id(p) not in drop]
-                    if lst:
-                        d[val] = lst
-                        for p in lst:
-                            if new_min is None or p.first_ts < new_min:
-                                new_min = p.first_ts
-                    else:
-                        del d[val]
-                buf["min"] = new_min
+                if "d" in buf:
+                    d = buf["d"]
+                    new_min = None
+                    for val in list(d):
+                        lst = [p for p in d[val] if id(p) not in drop]
+                        if lst:
+                            d[val] = lst
+                            for p in lst:
+                                if new_min is None or p.first_ts < new_min:
+                                    new_min = p.first_ts
+                        else:
+                            del d[val]
+                    buf["min"] = new_min
+                else:
+                    keep = [i for i, p in enumerate(buf["p"])
+                            if id(p) not in drop]
+                    if len(keep) != len(buf["p"]):
+                        buf["k"] = [buf["k"][i] for i in keep]
+                        buf["p"] = [buf["p"][i] for i in keep]
+                        buf["min"] = min((p.first_ts for p in buf["p"]),
+                                         default=None)
             else:
                 buf[:] = [p for p in buf if id(p) not in drop]
         self.shed_count += n_drop
@@ -1329,9 +1408,14 @@ class ConversationEvaluator:
                         thr = neg_threshold if unbounded_neg and side == 1 \
                             else threshold
                         if isinstance(buf, dict):
-                            _hb_expire(buf, thr)
-                            if buf["d"]:
-                                return False
+                            if "d" in buf:
+                                _hb_expire(buf, thr)
+                                if buf["d"]:
+                                    return False
+                            else:
+                                _rb_expire(buf, thr, force=True)
+                                if buf["p"]:
+                                    return False
                         else:
                             _expire(buf, thr)
                             if buf:
@@ -1433,6 +1517,20 @@ class ConversationEvaluator:
                 my_val = pm.entries[rpos][1].payload[rattr]
             _hb_add(my_buf, my_val, pm)
             candidates = other_buf["d"].get(my_val, ())
+        elif spec.range_probe is not None:
+            lpos, lget, rpos, rget, relop = spec.range_probe
+            my_buf = node.buffers[side]
+            other_buf = node.buffers[1 - side]
+            _rb_expire(other_buf, threshold)
+            _rb_expire(my_buf, threshold)
+            if side == 0:
+                my_val = lget(pm.entries[lpos][1].payload)
+            else:
+                my_val = rget(pm.entries[rpos][1].payload)
+            _rb_add(my_buf, my_val, pm)
+            # arriving on side 0 probes the right buffer (probe_left False)
+            candidates = _rb_candidates(other_buf, my_val, relop,
+                                        probe_left=side == 1)
         else:
             other = node.buffers[1 - side]
             _expire(other, threshold)
@@ -1981,6 +2079,80 @@ def _make_merge_fn(plan):
         return lambda l, r: (r[0], l[0], l[1])
     return lambda l, r, p=plan: tuple(l[i] if s == 0 else r[i]
                                       for s, i in p)
+
+
+def _rb_new() -> dict:
+    """A value-sorted buffer: parallel key/PM lists kept sorted by the
+    probe key (SortedPatternMatchStorage analog,
+    tree/PatternMatchStorage.py:144-283)."""
+    return {"k": [], "p": [], "min": None, "adds": 0}
+
+
+def _rb_add(buf: dict, val, pm: PM):
+    """Insert by binary search on the probe key (stable for ties:
+    bisect_right appends after equal keys, preserving arrival order)."""
+    i = bisect_right(buf["k"], val)
+    buf["k"].insert(i, val)
+    buf["p"].insert(i, pm)
+    if buf["min"] is None or pm.first_ts < buf["min"]:
+        buf["min"] = pm.first_ts
+    buf["adds"] += 1
+
+
+def _rb_expire(buf: dict, threshold: int, force: bool = False):
+    """Window expiry for a value-sorted buffer.  The sort key is the probe
+    value, not time, so cleanup is a full O(n) rebuild — amortized by
+    running only every 16 insertions (the reference's lazy
+    ``clean_up_interval`` default, misc/DefaultConfig.py:35); correctness
+    is unaffected because the window is re-validated per candidate."""
+    m = buf["min"]
+    if m is None or m >= threshold:
+        return
+    if not force and buf["adds"] < 16:
+        return
+    buf["adds"] = 0
+    keys, pms = buf["k"], buf["p"]
+    kk, pp = [], []
+    new_min = None
+    for i, pm in enumerate(pms):
+        ft = pm.first_ts
+        if ft >= threshold:
+            kk.append(keys[i])
+            pp.append(pm)
+            if new_min is None or ft < new_min:
+                new_min = ft
+    buf["k"], buf["p"], buf["min"] = kk, pp, new_min
+
+
+def _rb_candidates(buf: dict, val, relop: str, probe_left: bool) -> list:
+    """The slice of the OTHER side's buffer compatible with ``relop``.
+    ``probe_left`` False: find right-side values v with relop(val, v);
+    True: find left-side values v with relop(v, val).  Exactly the
+    reference's relop→slice mapping (PatternMatchStorage.py:263-283)."""
+    keys = buf["k"]
+    if relop == RelopTypes.Greater:
+        if probe_left:
+            lo, hi = bisect_right(keys, val), len(keys)
+        else:
+            lo, hi = 0, bisect_left(keys, val)
+    elif relop == RelopTypes.GreaterEqual:
+        if probe_left:
+            lo, hi = bisect_left(keys, val), len(keys)
+        else:
+            lo, hi = 0, bisect_right(keys, val)
+    elif relop == RelopTypes.Smaller:
+        if probe_left:
+            lo, hi = 0, bisect_left(keys, val)
+        else:
+            lo, hi = bisect_right(keys, val), len(keys)
+    else:  # SmallerEqual
+        if probe_left:
+            lo, hi = 0, bisect_right(keys, val)
+        else:
+            lo, hi = bisect_left(keys, val), len(keys)
+    if lo >= hi:
+        return ()
+    return buf["p"][lo:hi]
 
 
 def _hb_add(buf: dict, val, pm: PM):
