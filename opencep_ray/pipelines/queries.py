@@ -600,6 +600,49 @@ SELECT id_a, id_b, count(*) AS n_bands FROM pairs GROUP BY 1, 2
 """
 
 
+def dedup_minhash_cc(sf_dir):
+    """Near-dup CLUSTERS: transitive closure of the MinHash-LSH candidate
+    pairs via distributed min-label propagation
+    (:func:`opencep_ray.stages.cc.connected_components`).  Oracled: the
+    SQL side computes the same closure with a recursive CTE over the
+    identical pair derivation."""
+    from ..stages.cc import connected_components
+    from ..stages.dedup import minhash_lsh_candidates
+    ensure_signature_tables(sf_dir)
+    pairs = minhash_lsh_candidates(_documents(sf_dir), shingle_k=2)
+    comp = connected_components(pairs, src="id_a", dst="id_b",
+                                num_partitions=8)
+
+    def name(batch):
+        import pyarrow as _pa
+        return _pa.table({"doc_id": batch["node"],
+                          "component": batch["component"]})
+
+    return comp.map_batches(name, batch_format="pyarrow")
+
+
+DEDUP_MINHASH_CC_SQL = """
+WITH RECURSIVE b AS (SELECT * FROM
+           read_parquet('/tmp/graft_synth/minhash_bands_current.parquet')),
+sizes AS (SELECT band, band_hash, count(*) AS n FROM b GROUP BY 1, 2),
+ok AS (SELECT band, band_hash FROM sizes WHERE n BETWEEN 2 AND 200),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM b x
+  JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id
+  JOIN ok o ON o.band = x.band AND o.band_hash = x.band_hash),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach GROUP BY u
+"""
+
+
 def dedup_simhash(sf_dir):
     """SimHash banded near-dup pairs.  Oracled: the SQL side reproduces
     16-bit banding + Hamming <= k over the precomputed signature table."""
@@ -973,6 +1016,7 @@ QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_embedding": dedup_embedding,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_cc": dedup_minhash_cc,
     "dedup_simhash": dedup_simhash,
     "curate_documents": curate_documents,
     "text_stats": text_stats_q,
@@ -1005,6 +1049,7 @@ ORACLES = {
     "dedup_ngram": DEDUP_NGRAM_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_minhash": DEDUP_MINHASH_SQL,
+    "dedup_minhash_cc": DEDUP_MINHASH_CC_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "curate_documents": CURATE_DOCUMENTS_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -165,6 +165,8 @@ class _WorkerCore:
         self.rows_processed = 0
         self.busy_sec = 0.0
         self.cpu_sec = 0.0
+        self.first_busy_ts = None
+        self.last_busy_ts = None
         self.type_counts: Dict[str, int] = {}
         # {(pattern_id, conjunct_idx): [successes, total]} — selectivity
         # instrumentation (condition/Condition.py:119-125 analog); only
@@ -248,6 +250,11 @@ class _WorkerCore:
         out = pa.Table.from_pylist(rows, schema=self.emitter.schema())
         self.busy_sec += _t.perf_counter() - _t0
         self.cpu_sec += _t.process_time() - _c0
+        # idle-placement diagnostics (metrics.json): wall timestamps of
+        # the first shard's start and the latest shard's end
+        if self.first_busy_ts is None:
+            self.first_busy_ts = _t.time() - (_t.perf_counter() - _t0)
+        self.last_busy_ts = _t.time()
         return out
 
     def _drain(self, key, cur_slice: int, ev: ConversationEvaluator,
@@ -444,6 +451,8 @@ class _StreamWorker:
         return {"rows": self.core.rows_processed,
                 "busy_sec": round(self.core.busy_sec, 3),
                 "cpu_sec": round(self.core.cpu_sec, 3),
+                "first_busy_ts": self.core.first_busy_ts,
+                "last_busy_ts": self.core.last_busy_ts,
                 "utime": round(ru.ru_utime, 3),
                 "stime": round(ru.ru_stime, 3),
                 "minflt": ru.ru_minflt,

@@ -196,3 +196,43 @@ def test_verify_jaccard_matches_bruteforce(ray_session):
         sb = set(hasher.shingle_hashes(texts[b]).tolist())
         want = len(sa & sb) / len(sa | sb)
         assert got_map[(a, b)] == want
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.cc import connected_components
+
+    # chain 1-2-3-4 (transitivity across pairs never directly emitted),
+    # island 10-11, plus an out-of-order edge (7,5)
+    edges = pa.table({"id_a": pa.array([1, 2, 3, 10, 7], pa.int64()),
+                      "id_b": pa.array([2, 3, 4, 11, 5], pa.int64())})
+    comp = connected_components(rd.from_arrow(edges), num_partitions=2) \
+        .to_pandas()
+    got = dict(zip(comp.node, comp.component))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.cc import connected_components
+
+    edges = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    comp = connected_components(rd.from_arrow(edges))
+    assert comp.count() == 0
+    assert sorted(comp.schema().names) == ["component", "node"]
+
+
+def test_dedup_by_components_keeps_min_and_singletons(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.cc import (connected_components,
+                                       dedup_by_components)
+
+    edges = pa.table({"id_a": pa.array([1, 2], pa.int64()),
+                      "id_b": pa.array([2, 3], pa.int64())})
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                     "text": ["a", "b", "c", "lonely"]})
+    comp = connected_components(rd.from_arrow(edges), num_partitions=2)
+    kept = dedup_by_components(rd.from_arrow(docs), comp).to_pandas()
+    assert sorted(kept.doc_id) == [1, 9]
+    assert "component" not in kept.columns
