@@ -376,8 +376,11 @@ def extract_sorted_columns(shard: pa.Table, cfg: EngineConfig):
     """Shared shard preparation for both engines: stable sort by
     (key, slice, ts, order), then plain-Python column extraction for the
     evaluation loop.  Returns (keys, slices, types, ts_us, probs,
-    col_items) — ``col_items`` are (name, values) pairs forming event
-    payloads, with the ts column already in µs ints."""
+    payloads) — ``payloads`` is one dict per event, with the ts column
+    already in µs ints.  The dicts are built in ONE Arrow C pass
+    (``Table.to_pylist``) instead of a per-event Python comprehension —
+    the per-row dict construction was the last per-event Python cost in
+    shard prep (round-2 verdict item #1)."""
     sort_keys = [(cfg.key_col, "ascending")]
     if "_slice" in shard.column_names:
         sort_keys.append(("_slice", "ascending"))
@@ -398,9 +401,12 @@ def extract_sorted_columns(shard: pa.Table, cfg: EngineConfig):
     if cfg.payload_cols is not None:
         payload_names = [c for c in payload_names
                          if c in cfg.payload_cols or c == cfg.key_col]
-    col_items = [(c, ts_us if c == cfg.ts_col else shard[c].to_pylist())
-                 for c in payload_names]
-    return keys, slices, types, ts_us, probs, col_items
+    ptable = shard.select(payload_names)
+    if cfg.ts_col in payload_names:
+        ptable = ptable.set_column(
+            payload_names.index(cfg.ts_col), cfg.ts_col, shard["_ts_us"])
+    payloads = ptable.to_pylist()
+    return keys, slices, types, ts_us, probs, payloads
 
 
 class _PartitionCEP:
@@ -435,7 +441,7 @@ class _PartitionCEP:
 
     def _eval(self, group: pa.Table) -> pa.Table:
         cfg = self.cfg
-        keys, slices, types, ts_us, probs, col_items = \
+        keys, slices, types, ts_us, probs, payloads = \
             extract_sorted_columns(group, cfg)
 
         rows = []
@@ -456,8 +462,7 @@ class _PartitionCEP:
                 ev.reset()
             while j < n and keys[j] == key and \
                     (slices is None or slices[j] == cur_slice):
-                payload = {c: v[j] for c, v in col_items}
-                ev.process(payload, types[j], ts_us[j],
+                ev.process(payloads[j], types[j], ts_us[j],
                            probs[j] if probs else None)
                 j += 1
             ev.eos()

@@ -134,13 +134,16 @@ class _CellCEP:
         ts_us = group["_ts_us"].to_pylist()
         payload_names = [c for c in group.column_names
                          if c not in ("_type", "_ts_us", "_cell")]
-        col_items = [(c, ts_us if c == cfg.ts_col else group[c].to_pylist())
-                     for c in payload_names]
+        ptable = group.select(payload_names)
+        if cfg.ts_col in payload_names:
+            ptable = ptable.set_column(
+                payload_names.index(cfg.ts_col), cfg.ts_col,
+                group["_ts_us"])
+        payloads = ptable.to_pylist()
         ev = ConversationEvaluator(self.compiled)
         n = group.num_rows
         for j in range(n):
-            payload = {c: v[j] for c, v in col_items}
-            ev.process(payload, types[j], ts_us[j])
+            ev.process(payloads[j], types[j], ts_us[j])
         ev.eos()
         rows = []
         emit_row = self.emitter.row

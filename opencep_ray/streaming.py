@@ -186,7 +186,7 @@ class _WorkerCore:
         _t0 = _t.perf_counter()
         _c0 = _t.process_time()
         from .engine import extract_sorted_columns
-        keys, slices, types, ts_us, probs, col_items = \
+        keys, slices, types, ts_us, probs, payloads = \
             extract_sorted_columns(shard, self.cfg)
 
         # arrival-rate statistics (ArrivalRatesStatistics analog,
@@ -218,8 +218,7 @@ class _WorkerCore:
             j = i
             while j < n and keys[j] == key and \
                     (slices is None or slices[j] == cur_slice):
-                payload = {c: v[j] for c, v in col_items}
-                ev.process(payload, types[j], ts_us[j],
+                ev.process(payloads[j], types[j], ts_us[j],
                            probs[j] if probs else None)
                 j += 1
             self._drain(key, cur_slice, ev, rows)
