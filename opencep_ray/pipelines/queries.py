@@ -643,6 +643,66 @@ FROM reach GROUP BY u
 """
 
 
+def curate_near_dup(sf_dir):
+    """Composed NEAR-dup curation pipeline — the cluster-level upgrade of
+    :func:`curate_documents`: MinHash-LSH candidate pairs → distributed
+    connected components → keep one document per near-dup cluster (the
+    component minimum, plus all pair-free documents) → quality filter.
+    Everything streams: the candidate graph and component table are the
+    only materialized state, both orders of magnitude smaller than the
+    corpus."""
+    import pyarrow.compute as pc
+    from ..stages.cc import connected_components, dedup_by_components
+    from ..stages.dedup import minhash_lsh_candidates
+    from ..stages.text import QualityScore
+    ensure_signature_tables(sf_dir)
+    docs = _documents(sf_dir)
+    pairs = minhash_lsh_candidates(docs, shingle_k=2)
+    comp = connected_components(pairs, src="id_a", dst="id_b",
+                                num_partitions=8)
+    kept = dedup_by_components(docs, comp)
+    out = (kept.map_batches(QualityScore(), batch_format="pyarrow")
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t["quality_score"], 0.4)),
+               batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "quality_score"])
+
+
+CURATE_NEAR_DUP_SQL = """
+WITH RECURSIVE b AS (SELECT * FROM
+           read_parquet('/tmp/graft_synth/minhash_bands_current.parquet')),
+sizes AS (SELECT band, band_hash, count(*) AS n FROM b GROUP BY 1, 2),
+ok AS (SELECT band, band_hash FROM sizes WHERE n BETWEEN 2 AND 200),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM b x
+  JOIN b y ON x.band = y.band AND x.band_hash = y.band_hash
+          AND x.doc_id < y.doc_id
+  JOIN ok o ON o.band = x.band AND o.band_hash = x.band_hash),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         FROM reach GROUP BY u),
+dropped AS (SELECT doc_id FROM comp WHERE component <> doc_id),
+scored AS (
+  SELECT d.doc_id,
+    0.5 * (len(list_filter(string_split(lower(d.text), ' '),
+           x -> x IN ('the','a','of','to','and','in','is','it','on','for')))
+           ::DOUBLE / len(string_split(d.text, ' ')))
+    + 0.3 * (1 - length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE
+                 / length(d.text))
+    + 0.2 * least(len(string_split(d.text, ' '))::DOUBLE / 100.0, 1.0)
+      AS quality_score
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped))
+SELECT doc_id, quality_score FROM scored WHERE quality_score >= 0.4
+"""
+
+
 def dedup_simhash(sf_dir):
     """SimHash banded near-dup pairs.  Oracled: the SQL side reproduces
     16-bit banding + Hamming <= k over the precomputed signature table."""
@@ -1019,6 +1079,7 @@ QUERIES = {
     "dedup_minhash_cc": dedup_minhash_cc,
     "dedup_simhash": dedup_simhash,
     "curate_documents": curate_documents,
+    "curate_near_dup": curate_near_dup,
     "text_stats": text_stats_q,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -1052,6 +1113,7 @@ ORACLES = {
     "dedup_minhash_cc": DEDUP_MINHASH_CC_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "curate_documents": CURATE_DOCUMENTS_SQL,
+    "curate_near_dup": CURATE_NEAR_DUP_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
