@@ -950,6 +950,95 @@ SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
 """
 
 
+LSH_ASSIGN_PATH = "/tmp/graft_synth/lsh_assign_current.parquet"
+LSH_PROBE_PATH = "/tmp/graft_synth/lsh_probe_current.parquet"
+_LSH_MARKER = "/tmp/graft_synth/lsh_source.txt"
+
+
+def ensure_lsh_tables(sf_dir: str = AUX_SF_DIR):
+    """Deterministic LSH auxiliary tables for the ``ann_lsh`` oracle:
+    per-vector (table, sign-code) assignments and the per-query probe
+    codes, from the same fixed-seed hyperplanes the pipeline regenerates
+    in every worker.  The SQL side independently verifies the
+    bucket-restriction semantics (candidate iff codes match in ≥ 1
+    table), cosine ranking and top-k — the distributed parts; the code
+    computation itself is the shared per-vector signature (same trust
+    boundary as the minhash/simhash oracles, covered by unit tests)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ..stages.ann import _unit_rows, list_col_to_numpy
+    if os.path.exists(_LSH_MARKER) and os.path.exists(LSH_ASSIGN_PATH) \
+            and os.path.exists(LSH_PROBE_PATH) \
+            and open(_LSH_MARKER).read() == sf_dir:
+        return LSH_ASSIGN_PATH, LSH_PROBE_PATH
+    os.makedirs("/tmp/graft_synth", exist_ok=True)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    unit = _unit_rows(list_col_to_numpy(emb["embedding"]).copy())
+    # mirror ann_lsh(n_tables=4, n_planes=8, seed=7)
+    n_tables, n_planes = 4, 8
+    rng = np.random.RandomState(7)
+    planes = rng.normal(size=(n_tables, n_planes, unit.shape[1]))
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    codes = np.empty((unit.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        codes[:, t] = ((unit @ planes[t].T) >= 0.0) @ weights
+    assign_t = pa.table({
+        "vec_id": pa.array(np.repeat(ids, n_tables)),
+        "tbl": pa.array(np.tile(np.arange(n_tables, dtype=np.int32),
+                                len(ids))),
+        "code": pa.array(codes.reshape(-1))})
+    qmask = ids < 8
+    probe_t = pa.table({
+        "q_id": pa.array(np.repeat(ids[qmask], n_tables)),
+        "tbl": pa.array(np.tile(np.arange(n_tables, dtype=np.int32),
+                                int(qmask.sum()))),
+        "code": pa.array(codes[qmask].reshape(-1))})
+    tmp = LSH_ASSIGN_PATH + ".tmp"
+    pq.write_table(assign_t, tmp)
+    os.rename(tmp, LSH_ASSIGN_PATH)
+    tmp = LSH_PROBE_PATH + ".tmp"
+    pq.write_table(probe_t, tmp)
+    os.rename(tmp, LSH_PROBE_PATH)
+    with open(_LSH_MARKER + ".tmp", "w") as f:
+        f.write(sf_dir)
+    os.rename(_LSH_MARKER + ".tmp", _LSH_MARKER)
+    return LSH_ASSIGN_PATH, LSH_PROBE_PATH
+
+
+def ann_lsh_q(sf_dir):
+    from ..stages.ann import ann_lsh
+    ensure_lsh_tables(sf_dir)
+    emb = _embeddings(sf_dir)
+    q = emb.filter(expr="vec_id < 8").to_pandas()
+    out = ann_lsh(emb, q["vec_id"].tolist(), q["embedding"].tolist(), k=5,
+                  n_tables=4, n_planes=8, seed=7)
+    return out.select_columns(["q_id", "nn_rank", "neighbor_id"])
+
+
+ANN_LSH_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+allowed AS (
+  SELECT DISTINCT p.q_id, a.vec_id
+  FROM read_parquet('/tmp/graft_synth/lsh_probe_current.parquet') p
+  JOIN read_parquet('/tmp/graft_synth/lsh_assign_current.parquet') a
+    ON a.tbl = p.tbl AND a.code = p.code),
+sims AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS s
+  FROM q JOIN allowed al ON al.q_id = q.q_id
+  JOIN embeddings e ON e.vec_id = al.vec_id),
+ranked AS (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, neighbor_id)
+           AS nn_rank
+  FROM sims)
+SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
+"""
+
+
 def multimodal_decode(sf_dir):
     import ray.data as rd
     from ..stages.multimodal import decode_features, synth_media
@@ -1085,6 +1174,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "ann_topk": ann_topk,
+    "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
@@ -1119,6 +1209,7 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

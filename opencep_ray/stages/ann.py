@@ -9,6 +9,13 @@
   on the sample only), vectors assigned to their nearest centroid in one
   vectorized pass; queries probe the ``nprobe`` nearest centroids so each
   query touches only a fraction of the corpus.
+* :func:`ann_lsh` — random-hyperplane LSH: each vector gets one sign-bit
+  code per hash table (``n_tables`` tables × ``n_planes`` bits, planes
+  drawn from a fixed seed so every worker regenerates them identically —
+  nothing is trained and nothing is broadcast); a vector is a candidate
+  for a query iff they share a code in at least one table.  Unlike IVF
+  it needs no sample/training pass over the corpus, so it composes with
+  a purely streaming read.
 """
 
 from __future__ import annotations
@@ -216,5 +223,93 @@ def ann_ivf(ds: Dataset, query_ids, query_vecs, k: int = 10,
 
     local = assigned.map_batches(_ProbedTopK, batch_format="pyarrow",
                                  concurrency=(1, 8))
+    return local.groupby("q_id", num_partitions=8).map_groups(
+        _GlobalTopK(k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH variant — training-free scale path
+
+
+def lsh_planes(dim: int, n_tables: int = 4, n_planes: int = 8,
+               seed: int = 7) -> np.ndarray:
+    """(n_tables, n_planes, dim) Gaussian hyperplanes from a fixed seed.
+    Every worker regenerates these identically — the 'index' ships as
+    three integers, not as data."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_tables, n_planes, dim))
+
+
+def lsh_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 sign-bit codes: bit p of table t is
+    ``mat @ planes[t, p] >= 0``.  One matmul per table."""
+    n_tables, n_planes, _ = planes.shape
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t].T) >= 0.0          # (n, P) bool
+        out[:, t] = bits @ weights
+    return out
+
+
+class _LshTopK:
+    """Per-batch candidate restriction + local top-k: a row is scored for
+    a query iff its code matches the query's in at least one table."""
+
+    def __init__(self, q_payload, k, id_col, vec_col, n_tables, n_planes,
+                 seed, dim):
+        q = ray.get(q_payload) if isinstance(q_payload, ray.ObjectRef) \
+            else q_payload
+        self.q_ids = q["ids"]
+        self.q_unit = _unit_rows(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes = lsh_planes(dim, n_tables, n_planes, seed)
+        self.q_codes = lsh_codes(self.q_unit, self.planes)   # (Q, T)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        mat = _unit_rows(list_col_to_numpy(batch[self.vec_col]))
+        codes = lsh_codes(mat, self.planes)                  # (B, T)
+        outs = []
+        k = self.k
+        for qi, q in enumerate(self.q_ids):
+            mask = (codes == self.q_codes[qi]).any(axis=1)   # (B,)
+            if not mask.any():
+                continue
+            sims = self.q_unit[qi] @ mat[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            # deterministic boundary: sim desc, id asc
+            part = np.lexsort((sub_ids, -sims))[:kk]
+            outs.append(pa.table({
+                "q_id": pa.array([int(q)] * kk, pa.int64()),
+                "neighbor_id": pa.array(sub_ids[part], pa.int64()),
+                "cosine": pa.array(sims[part], pa.float64()),
+            }))
+        if not outs:
+            return pa.table({"q_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+
+def ann_lsh(ds: Dataset, query_ids, query_vecs, k: int = 10,
+            n_tables: int = 4, n_planes: int = 8, seed: int = 7,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> Dataset:
+    """LSH-bucketed ANN: candidates share a random-hyperplane sign code
+    with the query in ≥ 1 of ``n_tables`` tables; exact cosine top-k over
+    the candidates.  Codes are computed on UNIT vectors (sign bits are
+    scale-invariant, but unit-normalizing keeps query and corpus codes on
+    the same footing for zero vectors)."""
+    qv = np.asarray(query_vecs, dtype=np.float64)
+    q_payload = {"ids": list(query_ids), "vecs": qv.tolist()}
+    local = ds.map_batches(
+        _LshTopK, batch_format="pyarrow",
+        fn_constructor_args=(q_payload, k, id_col, vec_col,
+                             n_tables, n_planes, seed, qv.shape[1]),
+        concurrency=(1, 8))
     return local.groupby("q_id", num_partitions=8).map_groups(
         _GlobalTopK(k), batch_format="pyarrow")

@@ -99,6 +99,42 @@ def test_ann_ivf_recall(ray_session):
         assert len(top1) == 1 and int(top1.neighbor_id.iloc[0]) == q
 
 
+def test_ann_lsh_recall_and_bucket_restriction(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.ann import (ann_brute_force, ann_lsh,
+                                        list_col_to_numpy, lsh_codes,
+                                        lsh_planes, _unit_rows)
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(400, 32).astype(np.float32)
+    table = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.array(vecs.tolist(),
+                                            pa.list_(pa.float32()))})
+    q_ids = [0, 1, 2, 3]
+    q_vecs = [vecs[i].tolist() for i in q_ids]
+    exact = ann_brute_force(rd.from_arrow(table), q_ids, q_vecs,
+                            k=10).to_pandas()
+    approx = ann_lsh(rd.from_arrow(table), q_ids, q_vecs, k=10,
+                     n_tables=6, n_planes=6, seed=3).to_pandas()
+    # a query always collides with itself (identical codes in every table)
+    for q in q_ids:
+        top1 = approx[(approx.q_id == q) & (approx.nn_rank == 1)]
+        assert len(top1) == 1 and int(top1.neighbor_id.iloc[0]) == q
+    recalls = []
+    for q in q_ids:
+        e = set(exact[exact.q_id == q].neighbor_id)
+        a = set(approx[approx.q_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.4, recalls
+    # every returned neighbor genuinely shares a code in >= 1 table
+    planes = lsh_planes(32, n_tables=6, n_planes=6, seed=3)
+    unit = _unit_rows(list_col_to_numpy(table["embedding"]).copy())
+    codes = lsh_codes(unit, planes)
+    q_codes = codes[q_ids]
+    for row in approx.itertuples(index=False):
+        qi = q_ids.index(int(row.q_id))
+        assert (codes[int(row.neighbor_id)] == q_codes[qi]).any(), row
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
     from opencep_ray.stages.multimodal import (DecodeImage, FrameSample,
