@@ -1039,6 +1039,28 @@ SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
 """
 
 
+def sink_roundtrip(sf_dir):
+    """Resumable partitioned sink, exercised end-to-end: hash-partition
+    the documents table by doc_id into per-partition directories with
+    ``_SUCCESS`` markers (``stages/sink.py``), then read back ONLY the
+    complete partitions.  The oracle is round-trip identity — every row,
+    no duplicates, no bookkeeping columns leaking into the data."""
+    import shutil
+    from ..stages.sink import read_partitioned, resumable_write_parquet
+    root = f"/tmp/graft_synth/sink_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)   # fresh write each run
+    stats = resumable_write_parquet(
+        _documents(sf_dir, columns=["doc_id", "lang", "source", "n_chars"]),
+        root, "doc_id", num_partitions=16)
+    assert stats.num_rows, "sink wrote nothing"
+    return read_partitioned(root)
+
+
+SINK_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
 def multimodal_decode(sf_dir):
     import ray.data as rd
     from ..stages.multimodal import decode_features, synth_media
@@ -1176,6 +1198,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
+    "sink_roundtrip": sink_roundtrip,
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -1211,6 +1234,7 @@ ORACLES = {
     "ann_topk": ANN_TOPK_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,
+    "sink_roundtrip": SINK_ROUNDTRIP_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
 }
