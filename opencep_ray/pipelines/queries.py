@@ -1039,6 +1039,63 @@ SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
 """
 
 
+def asof_purchase(sf_dir):
+    """Per user, each click joined to the latest purchase at or before
+    it (`stages/joins.py:asof_join` — one hash exchange + vectorized
+    searchsorted merge; ties broken on greatest ts then greatest
+    event_id, matching the oracle's window tie-break)."""
+    from ..stages.joins import asof_join
+    clicks = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                      "event_type")) \
+        .filter(expr="event_type == 'click'")
+    purchases = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                         "event_type", "value")) \
+        .filter(expr="event_type == 'purchase'")
+    return asof_join(clicks, purchases, key="user_id", ts="ts",
+                     left_cols=["event_id"],
+                     right_cols=["event_id", "value"])
+
+
+ASOF_PURCHASE_SQL = """
+WITH c AS (SELECT event_id, epoch_us(ts) AS ts, user_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, epoch_us(ts) AS ts, value, user_id FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.user_id AS key, c.ts, c.event_id AS l_event_id,
+             p.event_id AS r_event_id, p.value AS r_value,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts)
+SELECT key, ts, l_event_id, r_event_id, r_value FROM j WHERE rn = 1
+"""
+
+
+def range_click_errors(sf_dir):
+    """All (click, error) pairs per user with the error in the 6 h
+    window ending at the click (`stages/joins.py:range_join` —
+    time-bucketed exchange on (key, bucket), each pair owned by the
+    error's bucket so it is emitted exactly once)."""
+    from ..stages.joins import range_join
+    clicks = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                      "event_type")) \
+        .filter(expr="event_type == 'click'")
+    errors = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                      "event_type")) \
+        .filter(expr="event_type == 'error'")
+    return range_join(clicks, errors, key="user_id", ts="ts",
+                      left_cols=["event_id"], right_cols=["event_id"],
+                      lo_us=-21_600_000_000, hi_us=0)
+
+
+RANGE_CLICK_ERRORS_SQL = """
+SELECT c.user_id AS key, epoch_us(c.ts) AS ts,
+       c.event_id AS l_event_id, e.event_id AS r_event_id
+FROM events c JOIN events e ON e.user_id = c.user_id
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+  AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - 21600000000 AND epoch_us(c.ts)
+"""
+
+
 def sink_roundtrip(sf_dir):
     """Resumable partitioned sink, exercised end-to-end: hash-partition
     the documents table by doc_id into per-partition directories with
@@ -1199,6 +1256,8 @@ QUERIES = {
     "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
     "sink_roundtrip": sink_roundtrip,
+    "asof_purchase": asof_purchase,
+    "range_click_errors": range_click_errors,
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -1235,6 +1294,8 @@ ORACLES = {
     "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "sink_roundtrip": SINK_ROUNDTRIP_SQL,
+    "asof_purchase": ASOF_PURCHASE_SQL,
+    "range_click_errors": RANGE_CLICK_ERRORS_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
 }

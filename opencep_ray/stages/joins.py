@@ -1,0 +1,263 @@
+"""Temporal joins Ray Data lacks natively: as-of join and range join.
+
+Both are expressed as ONE hash exchange plus a vectorized per-group
+merge — no driver-side state, no all-to-all beyond the single groupby:
+
+* :func:`asof_join` — for each left row, the single latest right row
+  with the same key and ``right.ts <= left.ts`` (optionally within a
+  tolerance).  Both sides are mapped into one unified schema, unioned,
+  hash-partitioned by key once, and merged per key with numpy
+  ``searchsorted`` — O((n+m) log(n+m)) per key, all vectorized.
+  Tie-break on equal right timestamps is deterministic: greatest
+  ``ts``, then greatest right order-column value.
+
+* :func:`range_join` — all pairs with the same key and
+  ``right.ts ∈ [left.ts + lo_us, left.ts + hi_us]`` (inclusive).
+  Time-bucketed: right rows land in their own bucket
+  (``floor(ts / w)``), left rows are replicated to every bucket their
+  interval overlaps (≤ 2 when ``w = hi_us - lo_us``), and the exchange
+  partitions on ``(key, bucket)`` — so a long-lived key is spread over
+  time buckets instead of hot-spotting one reducer.  Each output pair
+  is emitted exactly once (a right row lives in exactly one bucket).
+
+Partitioning assumptions, stated for the 100 TB plan: ``asof_join``
+co-locates each key on one reducer, so a single key whose history
+exceeds worker memory needs the range-join-style time slicing instead;
+``range_join`` already slices by time and only assumes one
+``(key, bucket)`` group fits — bounded by arrival rate × window, the
+same invariant the CEP engine's RIP salting relies on.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+
+def _ts_us(col) -> pa.Array:
+    """int64 µs from a timestamp or integer column (engine convention:
+    timestamps are int64 microseconds internally)."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    else:
+        col = pc.cast(col, pa.int64())
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _side_mapper(cols_keep, rename, key, ts, side, all_fields):
+    """Builds a map_batches fn projecting one side into the unified
+    union schema (absent side's columns become typed nulls)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        data = {"_key": batch[key], "_ts": _ts_us(batch[ts]),
+                "_side": pa.array(np.full(n, side, np.int8))}
+        present = {rename[c]: batch[c] for c in cols_keep}
+        for name, typ in all_fields:
+            data[name] = present.get(name, pa.nulls(n, typ))
+        return pa.table(data)
+    return fn
+
+
+class _AsofMerge:
+    """Per-key merge: latest right row at or before each left row."""
+
+    def __init__(self, l_names, r_names, tolerance_us, how):
+        self.l_names = l_names
+        self.r_names = r_names
+        self.tolerance_us = tolerance_us
+        self.how = how
+        self.__name__ = "AsofMerge"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        ts = group["_ts"].to_numpy(zero_copy_only=False)
+        is_l = side == 1
+        l_ts = ts[is_l]
+        r_ts = ts[~is_l]
+        out_cols = {}
+        if len(r_ts) == 0:
+            if self.how != "left" or len(l_ts) == 0:
+                return _empty_like(group, self.l_names, self.r_names)
+            idx, matched = np.full(len(l_ts), -1), np.zeros(len(l_ts), bool)
+            r_order = np.empty(0, np.int64)
+        else:
+            # deterministic tie-break: sort right by (ts, first r col)
+            first_r = group[self.r_names[0]].to_numpy(zero_copy_only=False)
+            r_vals = first_r[~is_l]
+            r_order = np.lexsort((r_vals, r_ts))
+            r_sorted = r_ts[r_order]
+            idx = np.searchsorted(r_sorted, l_ts, side="right") - 1
+            matched = idx >= 0
+            if self.tolerance_us is not None:
+                lag = l_ts - r_sorted[np.clip(idx, 0, None)]
+                matched &= lag <= self.tolerance_us
+        keep = matched if self.how == "inner" \
+            else np.ones(len(l_ts), bool)
+        if not keep.any():
+            return _empty_like(group, self.l_names, self.r_names)
+        sel_idx = idx[keep]
+        sel_matched = matched[keep]
+        l_rows = np.flatnonzero(is_l)[keep]
+        out_cols["key"] = group["_key"].take(pa.array(l_rows))
+        out_cols["ts"] = pa.array(l_ts[keep], pa.int64())
+        for name in self.l_names:
+            out_cols[name] = group[name].take(pa.array(l_rows))
+        r_rows_all = np.flatnonzero(~is_l)
+        for name in self.r_names:
+            col = group[name]
+            if sel_matched.all():
+                take = r_rows_all[r_order[sel_idx]]
+                out_cols[name] = col.take(pa.array(take))
+            elif len(r_order) == 0:   # left join, no right rows at all
+                out_cols[name] = pa.nulls(len(sel_idx), col.type)
+            else:           # left join: nulls where unmatched
+                take = r_rows_all[r_order[np.clip(sel_idx, 0, None)]]
+                taken = col.take(pa.array(take))
+                mask = pa.array(~sel_matched)
+                out_cols[name] = pc.if_else(mask, pa.nulls(
+                    len(sel_idx), col.type), taken)
+        return pa.table(out_cols)
+
+
+def _empty_like(group: pa.Table, l_names, r_names) -> pa.Table:
+    cols = {"key": group["_key"].slice(0, 0),
+            "ts": pa.array([], pa.int64())}
+    for name in l_names + r_names:
+        cols[name] = group[name].slice(0, 0)
+    return pa.table(cols)
+
+
+def _plan_sides(left, right, key, ts, left_cols, right_cols):
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = [f"l_{c}" for c in left_cols]
+    r_names = [f"r_{c}" for c in right_cols]
+    fields = [(f"l_{c}", l_schema.base_schema.field(c).type)
+              for c in left_cols]
+    fields += [(f"r_{c}", r_schema.base_schema.field(c).type)
+               for c in right_cols]
+    l_map = _side_mapper(list(left_cols),
+                         {c: f"l_{c}" for c in left_cols},
+                         key, ts, 1, fields)
+    r_map = _side_mapper(list(right_cols),
+                         {c: f"r_{c}" for c in right_cols},
+                         key, ts, 0, fields)
+    lu = left.map_batches(l_map, batch_format="pyarrow")
+    ru = right.map_batches(r_map, batch_format="pyarrow")
+    return lu, ru, l_names, r_names
+
+
+def asof_join(left: Dataset, right: Dataset, key: str, ts: str,
+              left_cols: Sequence[str], right_cols: Sequence[str],
+              tolerance_us: Optional[int] = None, how: str = "inner",
+              num_partitions: int = 16) -> Dataset:
+    """For each left row, the latest right row with the same ``key`` and
+    ``right.ts <= left.ts`` (ties: greatest ts, then greatest first
+    right column).  Output: ``key``, ``ts`` (left, int64 µs), ``l_<c>``
+    for ``left_cols``, ``r_<c>`` for ``right_cols``."""
+    assert how in ("inner", "left"), how
+    lu, ru, l_names, r_names = _plan_sides(left, right, key, ts,
+                                           left_cols, right_cols)
+    return (lu.union(ru)
+            .groupby("_key", num_partitions=num_partitions)
+            .map_groups(_AsofMerge(l_names, r_names, tolerance_us, how),
+                        batch_format="pyarrow"))
+
+
+class _RangeBucket:
+    """Adds ``_bkt``; left rows are replicated to every bucket their
+    [ts+lo, ts+hi] window overlaps, right rows keep their own bucket."""
+
+    def __init__(self, side: int, lo_us: int, hi_us: int, w: int):
+        self.side, self.lo, self.hi, self.w = side, lo_us, hi_us, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch["_ts"].to_numpy(zero_copy_only=False)
+        if self.side == 0:
+            bkt = ts // self.w
+            return batch.append_column("_bkt", pa.array(bkt, pa.int64()))
+        b0 = (ts + self.lo) // self.w
+        b1 = (ts + self.hi) // self.w
+        counts = (b1 - b0 + 1).astype(np.int64)
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(len(ts)), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        bkt = np.arange(total) - np.repeat(cum, counts) \
+            + np.repeat(b0, counts)
+        rep = batch.take(pa.array(row_idx))
+        return rep.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+
+class _RangeMerge:
+    """Per-(key, bucket) pair enumeration, fully vectorized: sorted
+    right timestamps + two searchsorteds give each left row its
+    [lo_i, hi_i) right slice; pairs materialize via repeat/arange."""
+
+    def __init__(self, l_names, r_names, lo_us, hi_us):
+        self.l_names, self.r_names = l_names, r_names
+        self.lo, self.hi = lo_us, hi_us
+        self.__name__ = "RangeMerge"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        ts = group["_ts"].to_numpy(zero_copy_only=False)
+        bkt = group["_bkt"].to_numpy(zero_copy_only=False)
+        is_l = side == 1
+        l_pos = np.flatnonzero(is_l)
+        r_pos = np.flatnonzero(~is_l)
+        if len(l_pos) == 0 or len(r_pos) == 0:
+            return _empty_like(group, self.l_names, self.r_names)
+        r_ts = ts[r_pos]
+        order = np.argsort(r_ts, kind="stable")
+        r_pos = r_pos[order]
+        r_ts = r_ts[order]
+        r_bkt = bkt[r_pos]
+        l_ts = ts[l_pos]
+        lo_i = np.searchsorted(r_ts, l_ts + self.lo, side="left")
+        hi_i = np.searchsorted(r_ts, l_ts + self.hi, side="right")
+        counts = hi_i - lo_i
+        total = int(counts.sum())
+        if total == 0:
+            return _empty_like(group, self.l_names, self.r_names)
+        l_rep = np.repeat(np.arange(len(l_pos)), counts)
+        cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        r_sel = np.arange(total) - np.repeat(cum, counts) \
+            + np.repeat(lo_i, counts)
+        # a pair is owned by the RIGHT row's bucket: the left replica in
+        # any other bucket drops it, so each pair is emitted exactly once
+        own = r_bkt[r_sel] == bkt[l_pos][l_rep]
+        l_take = pa.array(l_pos[l_rep[own]])
+        r_take = pa.array(r_pos[r_sel[own]])
+        cols = {"key": group["_key"].take(l_take),
+                "ts": pa.array(l_ts[l_rep[own]], pa.int64())}
+        for name in self.l_names:
+            cols[name] = group[name].take(l_take)
+        for name in self.r_names:
+            cols[name] = group[name].take(r_take)
+        return pa.table(cols)
+
+
+def range_join(left: Dataset, right: Dataset, key: str, ts: str,
+               left_cols: Sequence[str], right_cols: Sequence[str],
+               lo_us: int, hi_us: int,
+               num_partitions: int = 16) -> Dataset:
+    """All pairs with equal ``key`` and ``right.ts`` within
+    ``[left.ts + lo_us, left.ts + hi_us]`` (inclusive).  Output columns
+    as :func:`asof_join`."""
+    assert hi_us >= lo_us, (lo_us, hi_us)
+    w = max(hi_us - lo_us, 1)
+    lu, ru, l_names, r_names = _plan_sides(left, right, key, ts,
+                                           left_cols, right_cols)
+    lb = lu.map_batches(_RangeBucket(1, lo_us, hi_us, w),
+                        batch_format="pyarrow")
+    rb = ru.map_batches(_RangeBucket(0, lo_us, hi_us, w),
+                        batch_format="pyarrow")
+    return (lb.union(rb)
+            .groupby(["_key", "_bkt"], num_partitions=num_partitions)
+            .map_groups(_RangeMerge(l_names, r_names, lo_us, hi_us),
+                        batch_format="pyarrow"))
