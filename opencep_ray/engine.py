@@ -82,9 +82,11 @@ class EngineConfig:
         self.slice_multiple = slice_multiple
         # vectorized pushdown of declarative leaf conditions pre-shuffle
         self.vector_pushdown = vector_pushdown
-        # multi-pattern plan sharing: None | "leaves" | "subtrees"
-        # (evaluator.ConversationEvaluator docstring; cost-only, results
-        # invariant, auto-disabled with consumption policies)
+        # multi-pattern plan sharing: None | "leaves" | "subtrees" |
+        # "local_search" | "auto" — "auto" self-tunes via the tabu-search
+        # cost model (evaluator.ConversationEvaluator docstring;
+        # cost-only, results invariant, disabled with consumption
+        # policies)
         self.share = share
         # exchange strategy for the batch engine's one shuffle: sort-based
         # (default; cheapest at small scale) or Ray's hash-shuffle operator

@@ -899,7 +899,12 @@ class ConversationEvaluator:
     plan/multi/ShareLeavesTreePlanMerger.py:5-14,
     SubTreeSharingTreePlanMerger.py:5-13): ``"leaves"`` shares equivalent
     leaves across patterns, ``"subtrees"`` shares arbitrary equivalent
-    subtrees.  A shared subtree is instantiated ONCE as a mini-tree with
+    subtrees, ``"local_search"``/``"auto"`` run the tabu-search cost
+    model (``local_search.py``) and share only the subtrees it predicts
+    to pay — ``"auto"`` is the self-tuning spelling for users who don't
+    want to pick a mode (it may legitimately select NO sharing, e.g.
+    bare condition-less leaves where the remap outweighs the saving).
+    A shared subtree is instantiated ONCE as a mini-tree with
     the least-restrictive window/confidence and fans its results out to
     every consuming pattern through per-pattern entry-key remaps; upper
     nodes re-validate per pattern.  Sharing is silently disabled when any
@@ -931,7 +936,7 @@ class ConversationEvaluator:
             import random as _random
             self._shed_rng = _random.Random(shedding.seed)
         self.share = share if (share in ("leaves", "subtrees",
-                                         "local_search")
+                                         "local_search", "auto")
                                and len(compiled) > 1
                                and all(getattr(cp, "shareable", False)
                                        for cp in compiled)) else None
@@ -1036,9 +1041,11 @@ class ConversationEvaluator:
                 seen.add(sig)
                 counts[sig] = counts.get(sig, 0) + 1
         candidates = frozenset(sig for sig, c in counts.items() if c >= 2)
-        if self.share == "local_search" and candidates:
+        if self.share in ("local_search", "auto") and candidates:
             # cost-driven merge selection (reference
-            # plan/multi/local_search/LocalSearch.py:15-180)
+            # plan/multi/local_search/LocalSearch.py:15-180); "auto" is
+            # the self-tuning spelling: share only what the cost model
+            # says pays (possibly nothing), no user tuning required
             from .local_search import choose_shared_sigs
             return choose_shared_sigs(compiled, candidates)
         return candidates

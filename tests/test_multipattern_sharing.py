@@ -240,6 +240,62 @@ def test_local_search_skips_bare_leaves_shares_conditioned_joins():
     assert "join" in kinds
 
 
+def test_auto_share_is_self_tuning_alias(seed=6):
+    """share='auto' = the cost model decides, zero user tuning: results
+    invariant, same selection as 'local_search', and never MORE sharing
+    than subtrees mode."""
+    events = gen_stream(seed + 300, n=25)
+    base, _ = run(FLAGSHIP, events, share=None)
+    got, ev_auto = run(FLAGSHIP, events, share="auto")
+    assert got == base
+    _, ev_ls = run(FLAGSHIP, events, share="local_search")
+    assert ev_auto._shared_sigs == ev_ls._shared_sigs
+    _, ev_all = run(FLAGSHIP, events, share="subtrees")
+    assert ev_auto._shared_sigs <= ev_all._shared_sigs
+
+
+def test_auto_share_engine_config_end_to_end(ray_session):
+    """EngineConfig(share='auto') through the batch engine: identical
+    matches to share=None."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.engine import CEP, BindingsEmitter, EngineConfig
+    cond = GreaterThanCondition(Col("b", "v"), Col("a", "v"))
+    pats = [
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b")),
+                cond, window=10_000_000, pattern_id=1),
+        Pattern(Seq(Primitive("user", "a"), Primitive("assistant", "b"),
+                    Primitive("tool", "c")), cond, window=12_000_000,
+                pattern_id=2),
+    ]
+    rng = np.random.RandomState(3)
+    n = 400
+    table = pa.table({
+        "conv": pa.array(rng.randint(0, 20, n), pa.int64()),
+        "ts": pa.array(np.sort(rng.randint(0, 40_000_000, n)), pa.int64()),
+        "turn": pa.array(np.arange(n), pa.int64()),
+        "role": pa.array(rng.choice(["user", "assistant", "tool"], n)),
+        "v": pa.array(rng.randint(0, 9, n).astype("float64")),
+    })
+    emitter = BindingsEmitter(
+        {"conv": lambda b, pm: b["a"]["conv"],
+         "a_turn": lambda b, pm: b["a"]["turn"],
+         "b_turn": lambda b, pm: b["b"]["turn"]},
+        pa.schema([("conv", pa.int64()), ("a_turn", pa.int64()),
+                   ("b_turn", pa.int64())]))
+
+    def go(share):
+        cfg = EngineConfig(key_col="conv", ts_col="ts", type_col="role",
+                           order_cols=("turn",), payload_cols=("v", "turn",
+                                                               "conv"),
+                           num_partitions=8, share=share)
+        out = CEP(pats, cfg, emitter).run(rd.from_arrow(table)).to_pandas()
+        return sorted(map(tuple, out.values.tolist()))
+
+    assert go("auto") == go(None)
+
+
 def test_local_search_deterministic():
     _, ev1 = run(FLAGSHIP, gen_stream(4, n=15), share="local_search")
     _, ev2 = run(FLAGSHIP, gen_stream(4, n=15), share="local_search")
