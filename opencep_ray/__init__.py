@@ -16,7 +16,8 @@ from .conditions import (AndCondition, BinaryCondition, Col, Condition,
                          OrCondition, RelopTypes, SimpleCondition,
                          SmallerThanCondition, SmallerThanEqCondition,
                          TrueCondition, Variable)
-from .evaluator import CompiledPattern, ConversationEvaluator, compile_patterns
+from .evaluator import (CompiledPattern, ConversationEvaluator,
+                        StorageConfig, compile_patterns)
 from .pattern import (And, ConsumptionPolicy, Kleene, Neg, Or, Pattern,
                       Primitive, SelectionStrategy, Seq)
 
@@ -29,7 +30,8 @@ __all__ = [
     "GreaterThanEqCondition", "SmallerThanCondition",
     "SmallerThanEqCondition", "KCIndexCondition", "KCValueCondition",
     "RelopTypes",
-    "CompiledPattern", "ConversationEvaluator", "compile_patterns",
+    "CompiledPattern", "ConversationEvaluator", "StorageConfig",
+    "compile_patterns",
 ]
 
 __version__ = "0.1.0"

@@ -65,7 +65,8 @@ class EngineConfig:
                  slice_multiple: int = 12,
                  vector_pushdown: bool = True,
                  hash_shuffle: bool = False,
-                 share: "Optional[str]" = None):
+                 share: "Optional[str]" = None,
+                 storage=None):
         self.key_col = key_col
         self.ts_col = ts_col
         self.type_col = type_col
@@ -88,6 +89,9 @@ class EngineConfig:
         # cost-only, results invariant, disabled with consumption
         # policies)
         self.share = share
+        # per-compilation storage knobs (evaluator.StorageConfig — the
+        # TreeStorageParameters analog); None = engine defaults
+        self.storage = storage
         # exchange strategy for the batch engine's one shuffle: sort-based
         # (default; cheapest at small scale) or Ray's hash-shuffle operator
         # (aggregator actor pool, pipelined — no all-to-all sort barrier;
@@ -487,7 +491,7 @@ class CEP:
     def __init__(self, patterns, cfg: Optional[EngineConfig] = None,
                  emitter=None):
         self.cfg = cfg or EngineConfig()
-        self.compiled = compile_patterns(patterns)
+        self.compiled = compile_patterns(patterns, storage=self.cfg.storage)
         self.types_needed = frozenset(
             t for cp in self.compiled for t in cp.routes)
         self.max_window_us = max(cp.window_us for cp in self.compiled)

@@ -188,6 +188,50 @@ class _NodeSpec:
                                   # sharing (None = not shareable)
 
 
+class StorageConfig:
+    """Per-compilation storage knobs — the analog of the reference's
+    ``TreeStorageParameters`` (tree/PatternMatchStorage.py:308-332),
+    mapped onto this engine's buffer kinds:
+
+    * ``sort_storage`` — enable key-probed buffers at join nodes (hash
+      probes for equality conditions, value-sorted bisect-range buffers
+      for inequalities).  ``False`` = plain time-ordered linear buffers
+      everywhere (the reference's ``UnsortedPatternMatchStorage``; its
+      own default, misc/DefaultConfig.py:33).  OUR default is ``True``,
+      deviating deliberately: these probes are pure pruning — the full
+      condition still runs per candidate — so they never change results
+      and have no sort-maintenance downside at our buffer sizes.
+    * ``attributes_priorities`` — ``{attribute_name: priority}``; when a
+      join has several probe-able conditions, the one touching the
+      highest-priority attributes becomes the probe key (reference:
+      which attribute the storage is sorted by).  Default: first found.
+    * ``clean_up_interval`` — value-sorted buffers amortize their O(n)
+      expiry rebuild to every N insertions (reference lazy cleanup,
+      misc/DefaultConfig.py:35).  Time-ordered and hash buffers expire
+      eagerly/per-key regardless — interval only affects sorted buffers.
+    * ``prioritize_sorting_by_timestamp`` — keep storage time-ordered
+      unless an O(1) hash probe applies: disables value-sorted range
+      buffers but keeps equality hash probes (hashing needs no sort
+      order, so timestamp order is preserved anyway)."""
+
+    __slots__ = ("sort_storage", "attributes_priorities",
+                 "clean_up_interval", "prioritize_sorting_by_timestamp")
+
+    def __init__(self, sort_storage: bool = True,
+                 attributes_priorities: Optional[Dict[str, float]] = None,
+                 clean_up_interval: int = 16,
+                 prioritize_sorting_by_timestamp: bool = False):
+        if clean_up_interval <= 0:
+            raise ValueError("clean_up_interval must be positive")
+        self.sort_storage = sort_storage
+        self.attributes_priorities = dict(attributes_priorities or {})
+        self.clean_up_interval = clean_up_interval
+        self.prioritize_sorting_by_timestamp = prioritize_sorting_by_timestamp
+
+
+_DEFAULT_STORAGE = StorageConfig()
+
+
 class CompiledPattern:
     """Driver-side compilation artifact, shipped (pickled) to workers.
 
@@ -198,7 +242,9 @@ class CompiledPattern:
 
     def __init__(self, pattern: Pattern, pattern_id: int = 0,
                  statistics: Optional[dict] = None,
-                 tree_builder: str = "trivial"):
+                 tree_builder: str = "trivial",
+                 storage: Optional[StorageConfig] = None):
+        self.storage = storage or _DEFAULT_STORAGE
         self.pattern_id = pattern.pattern_id if pattern.pattern_id is not None \
             else pattern_id
         self.window_us = pattern.window_us
@@ -718,10 +764,12 @@ class CompiledPattern:
             spec.cond_fast = _compile_cond_fast(spec.conditions,
                                                 spec.cond_plan)
             if spec.kind == _NodeSpec.KIND_JOIN:
-                spec.eq_probe = self._find_eq_probe(spec, lkeys, rkeys)
-                if spec.eq_probe is None:
-                    spec.range_probe = self._find_range_probe(spec, lkeys,
-                                                              rkeys)
+                if self.storage.sort_storage:
+                    spec.eq_probe = self._find_eq_probe(spec, lkeys, rkeys)
+                    if spec.eq_probe is None and not \
+                            self.storage.prioritize_sorting_by_timestamp:
+                        spec.range_probe = self._find_range_probe(
+                            spec, lkeys, rkeys)
                 spec.pair_fast = _compile_pair_fast(spec)
 
         compile_node(self.root)
@@ -749,6 +797,7 @@ class CompiledPattern:
         name_to_leafkey = {}
         for lf in self.leaves:
             name_to_leafkey[lf.name] = lf.leaf_id
+        best = None
         for c in spec.conditions:
             if not isinstance(c, BaseRelationCondition) \
                     or c.relop != RelopTypes.Equal:
@@ -764,11 +813,20 @@ class CompiledPattern:
             rk = name_to_leafkey.get(right.name)
             if lk is None or rk is None or lk >= n_leaves or rk >= n_leaves:
                 continue
+            cand = None
             if lk in lkeys and rk in rkeys:
-                return (lkeys.index(lk), la, rkeys.index(rk), ra)
-            if rk in lkeys and lk in rkeys:
-                return (lkeys.index(rk), ra, rkeys.index(lk), la)
-        return None
+                cand = (lkeys.index(lk), la, rkeys.index(rk), ra)
+            elif rk in lkeys and lk in rkeys:
+                cand = (lkeys.index(rk), ra, rkeys.index(lk), la)
+            if cand is not None:
+                # attributes_priorities picks WHICH probe-able condition
+                # keys the buffer (TreeStorageParameters analog); first
+                # found wins on ties, preserving the default behavior
+                prio_map = self.storage.attributes_priorities
+                p = prio_map.get(la, 0) + prio_map.get(ra, 0)
+                if best is None or p > best[0]:
+                    best = (p, cand)
+        return best[1] if best else None
 
     def _find_range_probe(self, spec: _NodeSpec, lkeys: tuple, rkeys: tuple):
         """Finds an inequality condition relop(a.x, b.y) linking one
@@ -787,6 +845,7 @@ class CompiledPattern:
         name_to_leafkey = {}
         for lf in self.leaves:
             name_to_leafkey[lf.name] = lf.leaf_id
+        best = None
         for c in spec.conditions:
             if not isinstance(c, BaseRelationCondition) \
                     or c.relop not in ineq:
@@ -805,16 +864,25 @@ class CompiledPattern:
             # above every leaf id), so the getter sees a payload dict
             if lk is None or rk is None or lk >= n_leaves or rk >= n_leaves:
                 continue
+            cand = None
             if lk in lkeys and rk in rkeys:
-                return (lkeys.index(lk), lg, rkeys.index(rk), rg, c.relop)
-            if rk in lkeys and lk in rkeys:
-                return (lkeys.index(rk), rg, rkeys.index(lk), lg,
+                cand = (lkeys.index(lk), lg, rkeys.index(rk), rg, c.relop)
+            elif rk in lkeys and lk in rkeys:
+                cand = (lkeys.index(rk), rg, rkeys.index(lk), lg,
                         _FLIP_RELOP[c.relop])
-        return None
+            if cand is not None:
+                prio_map = self.storage.attributes_priorities
+                p = prio_map.get(getattr(left, "attr", None), 0) \
+                    + prio_map.get(getattr(right, "attr", None), 0)
+                if best is None or p > best[0]:
+                    best = (p, cand)
+        return best[1] if best else None
 
 
 def compile_patterns(patterns, statistics: Optional[dict] = None,
-                     tree_builder: str = "trivial") -> List[CompiledPattern]:
+                     tree_builder: str = "trivial",
+                     storage: Optional[StorageConfig] = None
+                     ) -> List[CompiledPattern]:
     """Applies the OR-splitting rewrites and compiles each pattern."""
     from .transformation import prepare_patterns
     if isinstance(patterns, Pattern):
@@ -824,7 +892,8 @@ def compile_patterns(patterns, statistics: Optional[dict] = None,
         out.append(CompiledPattern(p, pattern_id=p.pattern_id
                                    if p.pattern_id is not None else i,
                                    statistics=statistics,
-                                   tree_builder=tree_builder))
+                                   tree_builder=tree_builder,
+                                   storage=storage))
     return out
 
 
@@ -856,16 +925,20 @@ class _SharedView:
     tree/nodes/Node.py:330-345); upper per-pattern nodes and the output
     sink re-validate against each pattern's own parameters."""
 
-    __slots__ = ("window_us", "confidence")
+    __slots__ = ("window_us", "confidence", "storage")
 
     # sharing is disabled whenever a pattern carries consumption
     # policies, so shared nodes never see policy state
     match_next_types: frozenset = frozenset()
     single_at_root: frozenset = frozenset()
 
-    def __init__(self, window_us: int, confidence):
+    def __init__(self, window_us: int, confidence,
+                 storage: "StorageConfig" = None):
         self.window_us = window_us
         self.confidence = confidence
+        # storage knobs follow the owning pattern (a shared node serves
+        # several, but they were compiled with one StorageConfig)
+        self.storage = storage or _DEFAULT_STORAGE
 
 
 class SheddingConfig:
@@ -1176,7 +1249,7 @@ class ConversationEvaluator:
         return node
 
     def _make_mini(self, spec: _NodeSpec, cp: CompiledPattern) -> dict:
-        mini = {"cp": _SharedView(cp.window_us, cp.confidence),
+        mini = {"cp": _SharedView(cp.window_us, cp.confidence, cp.storage),
                 "root": None, "routes": {}, "leaf_nodes": {}, "nodes": [],
                 "first_unbounded": None, "freezers": None,
                 "child_minis": [], "owner_spec": spec}
@@ -1528,8 +1601,9 @@ class ConversationEvaluator:
             lpos, lget, rpos, rget, relop = spec.range_probe
             my_buf = node.buffers[side]
             other_buf = node.buffers[1 - side]
-            _rb_expire(other_buf, threshold)
-            _rb_expire(my_buf, threshold)
+            interval = cp.storage.clean_up_interval
+            _rb_expire(other_buf, threshold, interval=interval)
+            _rb_expire(my_buf, threshold, interval=interval)
             if side == 0:
                 my_val = lget(pm.entries[lpos][1].payload)
             else:
@@ -2106,16 +2180,18 @@ def _rb_add(buf: dict, val, pm: PM):
     buf["adds"] += 1
 
 
-def _rb_expire(buf: dict, threshold: int, force: bool = False):
+def _rb_expire(buf: dict, threshold: int, force: bool = False,
+               interval: int = 16):
     """Window expiry for a value-sorted buffer.  The sort key is the probe
     value, not time, so cleanup is a full O(n) rebuild — amortized by
-    running only every 16 insertions (the reference's lazy
-    ``clean_up_interval`` default, misc/DefaultConfig.py:35); correctness
-    is unaffected because the window is re-validated per candidate."""
+    running only every ``interval`` insertions
+    (``StorageConfig.clean_up_interval``; the reference's lazy cleanup,
+    misc/DefaultConfig.py:35); correctness is unaffected because the
+    window is re-validated per candidate."""
     m = buf["min"]
     if m is None or m >= threshold:
         return
-    if not force and buf["adds"] < 16:
+    if not force and buf["adds"] < interval:
         return
     buf["adds"] = 0
     keys, pms = buf["k"], buf["p"]

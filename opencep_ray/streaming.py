@@ -557,7 +557,7 @@ class StreamingCEP:
         self.cfg = cfg or EngineConfig()
         self._patterns = [patterns] if isinstance(patterns, Pattern) \
             else list(patterns)
-        self.compiled = compile_patterns(patterns)
+        self.compiled = compile_patterns(patterns, storage=self.cfg.storage)
         self.types_needed = frozenset(
             t for cp in self.compiled for t in cp.routes)
         self.max_window_us = max(cp.window_us for cp in self.compiled)
@@ -693,7 +693,8 @@ class StreamingCEP:
                             # feeds StatisticNegationAlgorithm ordering
                             "type_counts": dict(counts)}
         return compile_patterns(self._patterns,
-                                tree_builder=self.tree_builder)
+                                tree_builder=self.tree_builder,
+                                storage=self.cfg.storage)
 
     def _plan_invariants(self, counts: dict,
                          cond_stats: Optional[dict] = None):
