@@ -172,6 +172,37 @@ BENCH_QUERIES = {
 }
 
 
+def measure_host_steal(seconds: float = 2.0) -> float:
+    """% of CPU the hypervisor steals while every core spins — the
+    contamination indicator for numbers from this VM.  Measured steal of
+    16–23% under load correlates with uniform 1.6–2.6× slowdowns across
+    ALL pipelines (including code untouched between runs); quiet-window
+    runs measure < 2% (BASELINE.md §4).  Reported as
+    ``host_steal_pct`` in the bench JSON so a contaminated run is
+    self-documenting."""
+    import subprocess
+    def snap():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    procs = []
+    try:
+        procs = [subprocess.Popen([sys.executable, "-c", "while 1: pass"],
+                                  stdout=subprocess.DEVNULL,
+                                  stderr=subprocess.DEVNULL)
+                 for _ in range(os.cpu_count() or 8)]
+        time.sleep(0.3)
+        a = snap()
+        time.sleep(seconds)
+        b = snap()
+    except OSError:
+        return -1.0
+    finally:
+        for p in procs:
+            p.kill()
+    d = [y - x for x, y in zip(a, b)]
+    return round(100 * d[7] / max(sum(d), 1), 2)
+
+
 def run_bench() -> dict:
     import ray
     # size the object store to Ray Data's recommended 50% of memory
@@ -208,6 +239,9 @@ def run_bench() -> dict:
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         lambda b: b, batch_format="pyarrow").count()
 
+    steal = measure_host_steal()
+    print(f"host steal under load: {steal}%", file=sys.stderr)
+
     times, rows = {}, {}
     selected = {k: v for k, v in BENCH_QUERIES.items()
                 if not ONLY or k in ONLY}
@@ -229,6 +263,7 @@ def run_bench() -> dict:
         "rows": rows,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host_steal_pct": steal,
         "transcript_rows": sum(
             pq.read_metadata(f).num_rows for f in
             __import__("glob").glob(f"{BENCH_TRANSCRIPTS}/*.parquet")),
@@ -282,7 +317,9 @@ def run_scaling():
     t_hi = r_hi["queries"]["cep_stream"]
     rows = r_lo["transcript_rows"]
     eff = (t_lo / t_hi) / (hi / lo)
+    steals = [r.get("host_steal_pct") for r in runs_lo + runs_hi]
     print(json.dumps({
+        "host_steal_pct_runs": steals,
         "metric": f"scaling efficiency ({lo} -> {hi} cpus, "
                   "flagship CEP, workers scaled 4x)",
         "transcript_rows": rows,
