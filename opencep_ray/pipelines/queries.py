@@ -1039,6 +1039,43 @@ SELECT q_id, nn_rank, neighbor_id FROM ranked WHERE nn_rank <= 5
 """
 
 
+def split_assign(sf_dir):
+    """Deterministic train/val/test assignment over documents
+    (`stages/split.py:hash_split` — splitmix64 bucket of doc_id, pure
+    per-batch, no shuffle/RNG).  The oracle reproduces the wrapping
+    uint64 arithmetic exactly in DuckDB via 128-bit modular arithmetic
+    with a 32-bit-split multiply, so the assignment itself is verified
+    bit-for-bit, not just the distribution."""
+    from ..stages.split import hash_split
+    docs = _documents(sf_dir, columns=("doc_id",))
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.9, "val": 0.05, "test": 0.05}, salt=7)
+    return out.select_columns(["doc_id", "split"])
+
+
+# (a*b) mod 2^64 with every intermediate < 2^97 (HUGEINT-safe)
+_MULMOD = ("((({a}) % 4294967296) * {b} + (((({a}) // 4294967296) * "
+           "({b} % 4294967296)) % 4294967296) * 4294967296) "
+           "% 18446744073709551616")
+
+SPLIT_ASSIGN_SQL = f"""
+WITH t AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS id FROM documents),
+m1 AS (SELECT doc_id,
+       ({_MULMOD.format(a='id', b='11400714819323198485')} + 7)
+         % 18446744073709551616 AS h1 FROM t),
+m2 AS (SELECT doc_id, xor(h1, h1 // 8589934592) AS h2 FROM m1),
+m3 AS (SELECT doc_id,
+       {_MULMOD.format(a='h2', b='13787848793156543929')} AS h3 FROM m2),
+m4 AS (SELECT doc_id, CAST(xor(h3, h3 // 536870912) % 1000000 AS BIGINT)
+       AS b FROM m3)
+SELECT doc_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM m4
+"""
+
+
 def asof_purchase(sf_dir):
     """Per user, each click joined to the latest purchase at or before
     it (`stages/joins.py:asof_join` — one hash exchange + vectorized
@@ -1258,6 +1295,7 @@ QUERIES = {
     "sink_roundtrip": sink_roundtrip,
     "asof_purchase": asof_purchase,
     "range_click_errors": range_click_errors,
+    "split_assign": split_assign,
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -1296,6 +1334,7 @@ ORACLES = {
     "sink_roundtrip": SINK_ROUNDTRIP_SQL,
     "asof_purchase": ASOF_PURCHASE_SQL,
     "range_click_errors": RANGE_CLICK_ERRORS_SQL,
+    "split_assign": SPLIT_ASSIGN_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
 }

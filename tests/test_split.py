@@ -1,0 +1,71 @@
+"""Deterministic hash split/sample (stages/split.py): exact partition of
+the bucket space, determinism across runs and batch sizes, approximate
+fractions, key-consistency of sampling, and negative-key handling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(n=20_000, seed=0):
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.rand(n))}))
+
+
+def test_split_fractions_and_determinism(ray_session):
+    from opencep_ray.stages.split import hash_split
+    ds = _ds()
+    out = hash_split(ds, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt=3).to_pandas()
+    counts = out.split.value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.02
+    assert abs(counts["val"] - 0.1) < 0.01
+    assert abs(counts["test"] - 0.1) < 0.01
+    # complete: every row assigned
+    assert out.split.notna().all()
+    # deterministic across runs and across different batch shapes
+    again = hash_split(_ds().repartition(7), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       salt=3).to_pandas()
+    a = dict(zip(out.doc_id, out.split))
+    b = dict(zip(again.doc_id, again.split))
+    assert a == b
+    # a different salt produces a different assignment
+    other = hash_split(_ds(), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       salt=4).to_pandas()
+    assert dict(zip(other.doc_id, other.split)) != a
+
+
+def test_split_thresholds_partition_exactly():
+    from opencep_ray.stages.split import split_thresholds
+    th = split_thresholds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert th[0][1] == 0 and th[-1][2] == 1_000_000
+    for (_, _, hi), (_, lo, _) in zip(th, th[1:]):
+        assert hi == lo
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.2})
+
+
+def test_sample_rate_and_key_consistency(ray_session):
+    from opencep_ray.stages.split import bucket_of, hash_sample
+    ds = _ds()
+    kept = hash_sample(ds, "doc_id", 0.25, salt=1).to_pandas()
+    assert abs(len(kept) / 20_000 - 0.25) < 0.02
+    # membership is exactly the bucket predicate (pure function of key)
+    expect = set(np.flatnonzero(
+        bucket_of(np.arange(20_000, dtype=np.int64), 1) < 250_000))
+    assert set(kept.doc_id) == expect
+
+
+def test_negative_keys_wrap_consistently():
+    from opencep_ray.stages.split import bucket_of
+    neg = bucket_of(np.array([-1, -2, -3], dtype=np.int64), 0)
+    # two's-complement view: -1 -> 2^64-1; stable and in range
+    assert ((neg >= 0) & (neg < 1_000_000)).all()
+    again = bucket_of(np.array([-1, -2, -3], dtype=np.int64), 0)
+    assert (neg == again).all()
