@@ -1076,6 +1076,46 @@ FROM m4
 """
 
 
+def stats_quantiles(sf_dir):
+    """Exact discrete quantiles of lineitem quantity
+    (`stages/sketch.py:exact_quantiles` — per-batch (value, count)
+    partials, one tiny groupby-sum merge, quantiles over ≤ |distinct|
+    rows; DuckDB ``quantile_disc`` semantics)."""
+    from ..sources import read_parquet_clean
+    from ..stages.sketch import exact_quantiles
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity"])
+    return exact_quantiles(li, "l_quantity",
+                           [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+STATS_QUANTILES_SQL = """
+WITH ql AS (SELECT quantile_disc(l_quantity,
+                                 [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+            FROM lineitem)
+SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       CAST(unnest(v) AS DOUBLE) AS value
+FROM ql
+"""
+
+
+def stats_heavy_hitters(sf_dir):
+    """Top-10 most frequent order-quantity values with a deterministic
+    tie-break (`stages/sketch.py:heavy_hitters` — the distributed
+    generalization of `engine.detect_hot_keys`)."""
+    from ..sources import read_parquet_clean
+    from ..stages.sketch import heavy_hitters
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity"])
+    return heavy_hitters(li, "l_quantity", k=10)
+
+
+STATS_HH_SQL = """
+SELECT l_quantity, count(*) AS n FROM lineitem
+GROUP BY l_quantity ORDER BY n DESC, l_quantity LIMIT 10
+"""
+
+
 def asof_purchase(sf_dir):
     """Per user, each click joined to the latest purchase at or before
     it (`stages/joins.py:asof_join` — one hash exchange + vectorized
@@ -1296,6 +1336,8 @@ QUERIES = {
     "asof_purchase": asof_purchase,
     "range_click_errors": range_click_errors,
     "split_assign": split_assign,
+    "stats_quantiles": stats_quantiles,
+    "stats_heavy_hitters": stats_heavy_hitters,
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -1335,6 +1377,8 @@ ORACLES = {
     "asof_purchase": ASOF_PURCHASE_SQL,
     "range_click_errors": RANGE_CLICK_ERRORS_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
+    "stats_quantiles": STATS_QUANTILES_SQL,
+    "stats_heavy_hitters": STATS_HH_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
 }

@@ -1,0 +1,73 @@
+"""Distribution summaries over unbounded inputs, built on the
+partial-aggregate pattern: each batch reduces to a tiny (value, count)
+table inside ``map_batches``, one small ``groupby.sum`` merges the
+partials, and the final quantile/top-k step runs over ≤ |distinct|
+rows — the only data that ever reaches a single place.  Nothing here
+shuffles row-level data, so cost scales with distinct values, not rows.
+
+* :func:`exact_quantiles` — exact discrete quantiles (DuckDB
+  ``quantile_disc`` semantics: the value at 0-based rank
+  ``floor(q * (n-1))`` of the sorted multiset).  Intended for columns
+  with bounded distinct values (grades, quantities, bucketed scores);
+  for continuous columns, bucket first — an approximate sketch over raw
+  doubles would not be oracle-checkable.
+* :func:`heavy_hitters` — exact top-k most frequent values with a
+  deterministic tie-break (count desc, value asc).  The distributed
+  generalization of ``engine.detect_hot_keys``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _partial_counts(col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        return (pl.from_arrow(batch.select([col]))
+                .group_by(col).agg(pl.len().cast(pl.Int64).alias("_n"))
+                .to_arrow())
+    return fn
+
+
+def _merged_counts(ds: Dataset, col: str) -> Dataset:
+    return (ds.map_batches(_partial_counts(col), batch_format="pyarrow")
+            .groupby(col).aggregate(Sum("_n", alias_name="n")))
+
+
+def exact_quantiles(ds: Dataset, col: str,
+                    qs: Sequence[float]) -> pa.Table:
+    """(q, value) table of exact discrete quantiles of ``col``.  The
+    merged (value, count) table — ≤ |distinct| rows — is the only
+    materialized data."""
+    counts = _merged_counts(ds, col).sort(col).take_all()
+    vals = np.array([r[col] for r in counts])
+    cum = np.cumsum([r["n"] for r in counts])
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        if n == 0:
+            continue
+        rank = math.floor(q * (n - 1))          # quantile_disc position
+        idx = int(np.searchsorted(cum, rank, side="right"))
+        out_q.append(q)
+        out_v.append(vals[idx])
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v)})
+
+
+def heavy_hitters(ds: Dataset, col: str, k: int = 10) -> Dataset:
+    """Top-``k`` most frequent values of ``col`` (ties broken by value
+    ascending, so results are deterministic)."""
+    return (_merged_counts(ds, col)
+            .sort(["n", col], descending=[True, False])
+            .limit(k))

@@ -1,0 +1,50 @@
+"""exact_quantiles / heavy_hitters vs brute-force numpy and DuckDB
+quantile_disc semantics, including tie-heavy distributions."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(values):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"x": pa.array(values)})).repartition(5)
+
+
+def test_quantiles_match_duckdb_semantics(ray_session):
+    from opencep_ray.stages.sketch import exact_quantiles
+    rng = np.random.RandomState(2)
+    vals = rng.randint(1, 51, 5000).astype("float64")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = exact_quantiles(_ds(vals), "x", qs)
+    want = duckdb.connect().execute(
+        "SELECT unnest(quantile_disc(x, ?)) FROM t",
+        [qs]).fetchall() if False else None
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals)}))
+    want = con.execute(
+        f"SELECT quantile_disc(x, {qs}) FROM t").fetchone()[0]
+    assert got["value"].to_pylist() == want
+    assert got["q"].to_pylist() == qs
+
+
+def test_quantiles_skewed_ties(ray_session):
+    from opencep_ray.stages.sketch import exact_quantiles
+    # 90% of mass on one value
+    vals = np.array([7.0] * 900 + list(range(100)), dtype="float64")
+    got = exact_quantiles(_ds(vals), "x", [0.5, 0.95])
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals)}))
+    want = con.execute(
+        "SELECT quantile_disc(x, [0.5, 0.95]) FROM t").fetchone()[0]
+    assert got["value"].to_pylist() == want
+
+
+def test_heavy_hitters_deterministic_ties(ray_session):
+    from opencep_ray.stages.sketch import heavy_hitters
+    vals = [1] * 5 + [2] * 5 + [3] * 5 + [4] * 2
+    out = heavy_hitters(_ds(np.array(vals, dtype="int64")), "x",
+                        k=3).to_pandas()
+    # counts tie at 5: value ascending breaks the tie
+    assert out.x.tolist() == [1, 2, 3]
+    assert out.n.tolist() == [5, 5, 5]
