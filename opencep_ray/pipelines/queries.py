@@ -1237,6 +1237,67 @@ SELECT doc_id, quality_score FROM scored WHERE quality_score >= 0.4
 """
 
 
+def curate_split_sink(sf_dir):
+    """The full preprocessing job a training-data user runs end-to-end,
+    composed from this repo's stages in ONE streaming pipeline: exact
+    dedup (winner inside the shuffle) → quality filter → deterministic
+    train/val/test split → resumable partitioned sink → read back only
+    the complete partitions.  Verifies the COMPOSITION: every row that
+    should survive does, exactly once, with the right split, through an
+    actual on-disk sink round-trip."""
+    import shutil
+    import pyarrow.compute as _pc
+    from ..stages.dedup import exact_dedup_rows
+    from ..stages.sink import read_partitioned, resumable_write_parquet
+    from ..stages.split import hash_split
+    from ..stages.text import QualityScore
+    root = ("/tmp/graft_synth/curate_sink_"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    kept = exact_dedup_rows(_documents(sf_dir))
+    scored = (kept.map_batches(QualityScore(), batch_format="pyarrow")
+              .map_batches(lambda t: t.filter(
+                  _pc.greater_equal(t["quality_score"], 0.4)),
+                  batch_format="pyarrow"))
+    split = hash_split(scored, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05}, salt=7)
+    split = split.select_columns(["doc_id", "split"])
+    stats = resumable_write_parquet(split, root, "doc_id",
+                                    num_partitions=8)
+    assert stats.num_rows, "sink wrote nothing"
+    return read_partitioned(root)
+
+
+CURATE_SPLIT_SINK_SQL = f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+scored AS (
+  SELECT d.doc_id,
+    0.5 * (len(list_filter(string_split(lower(d.text), ' '),
+           x -> x IN ('the','a','of','to','and','in','is','it','on','for')))
+           ::DOUBLE / len(string_split(d.text, ' ')))
+    + 0.3 * (1 - length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE
+                 / length(d.text))
+    + 0.2 * least(len(string_split(d.text, ' '))::DOUBLE / 100.0, 1.0)
+      AS quality_score
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+kept2 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS id FROM scored
+          WHERE quality_score >= 0.4),
+m1 AS (SELECT doc_id,
+       ({_MULMOD.format(a='id', b='11400714819323198485')} + 7)
+         % 18446744073709551616 AS h1 FROM kept2),
+m2 AS (SELECT doc_id, xor(h1, h1 // 8589934592) AS h2 FROM m1),
+m3 AS (SELECT doc_id,
+       {_MULMOD.format(a='h2', b='13787848793156543929')} AS h3 FROM m2),
+m4 AS (SELECT doc_id, CAST(xor(h3, h3 // 536870912) % 1000000 AS BIGINT)
+       AS b FROM m3)
+SELECT doc_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM m4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational
 
@@ -1338,6 +1399,7 @@ QUERIES = {
     "split_assign": split_assign,
     "stats_quantiles": stats_quantiles,
     "stats_heavy_hitters": stats_heavy_hitters,
+    "curate_split_sink": curate_split_sink,
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -1379,6 +1441,7 @@ ORACLES = {
     "split_assign": SPLIT_ASSIGN_SQL,
     "stats_quantiles": STATS_QUANTILES_SQL,
     "stats_heavy_hitters": STATS_HH_SQL,
+    "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
 }
