@@ -178,8 +178,9 @@ class _RangeBucket:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = batch["_ts"].to_numpy(zero_copy_only=False)
-        if self.side == 0:
-            bkt = ts // self.w
+        if self.side == 0 or batch.num_rows == 0:
+            bkt = ts // self.w if batch.num_rows else \
+                np.empty(0, np.int64)
             return batch.append_column("_bkt", pa.array(bkt, pa.int64()))
         b0 = (ts + self.lo) // self.w
         b1 = (ts + self.hi) // self.w
