@@ -1,0 +1,63 @@
+"""Every training-data stage must pass empty inputs through gracefully —
+at scale, filters and skew routinely produce empty blocks mid-pipeline,
+and an operator that crashes on them kills the whole job."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture
+def empty_docs(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                   "ts": pa.array([], pa.int64()),
+                                   "text": pa.array([], pa.string())}))
+
+
+@pytest.fixture
+def empty_kts(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                   "ts": pa.array([], pa.int64()),
+                                   "rid": pa.array([], pa.int64())}))
+
+
+def test_split_sample_empty(empty_docs):
+    from opencep_ray.stages.split import hash_sample, hash_split
+    assert hash_split(empty_docs, "doc_id", {"a": 0.5, "b": 0.5}) \
+        .count() == 0
+    assert hash_sample(empty_docs, "doc_id", 0.5).count() == 0
+
+
+def test_sketch_empty(empty_docs):
+    from opencep_ray.stages.sketch import exact_quantiles, heavy_hitters
+    assert exact_quantiles(empty_docs, "doc_id", [0.5]).num_rows == 0
+    assert heavy_hitters(empty_docs, "doc_id", 3).count() == 0
+
+
+def test_joins_empty_both_and_one_side(empty_kts, ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.joins import asof_join, range_join
+    assert asof_join(empty_kts, empty_kts, "k", "ts",
+                     ["rid"], ["rid"]).count() == 0
+    assert range_join(empty_kts, empty_kts, "k", "ts",
+                      ["rid"], ["rid"], -10, 0).count() == 0
+    one = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                  "ts": pa.array([5], pa.int64()),
+                                  "rid": pa.array([0], pa.int64())}))
+    # empty right: inner asof drops, left asof keeps with nulls
+    assert asof_join(one, empty_kts, "k", "ts",
+                     ["rid"], ["rid"]).count() == 0
+    left = asof_join(one, empty_kts, "k", "ts", ["rid"], ["rid"],
+                     how="left").to_pandas()
+    assert len(left) == 1 and left.r_rid.isna().all()
+    # empty left: nothing to emit
+    assert range_join(empty_kts, one, "k", "ts",
+                      ["rid"], ["rid"], -10, 0).count() == 0
+
+
+def test_sink_empty(empty_docs, tmp_path):
+    from opencep_ray.stages.sink import resumable_write_parquet
+    stats = resumable_write_parquet(empty_docs, str(tmp_path / "o"),
+                                    "doc_id", num_partitions=4)
+    assert stats.num_rows == 0
