@@ -1076,6 +1076,36 @@ FROM m4
 """
 
 
+def split_by_source(sf_dir):
+    """Leakage-free split: ALL documents from one source land in the
+    same fold (string keys hash via the md5 upper half, which DuckDB's
+    ``md5_number_lower`` reproduces exactly — `stages/split.py:
+    keys_to_u64`)."""
+    from ..stages.split import hash_split
+    docs = _documents(sf_dir, columns=("doc_id", "source"))
+    out = hash_split(docs, "source",
+                     {"train": 0.8, "val": 0.2}, salt=3)
+    return out.select_columns(["doc_id", "source", "split"])
+
+
+SPLIT_BY_SOURCE_SQL = f"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(md5_number_lower(source) AS HUGEINT) AS id
+           FROM documents),
+m1 AS (SELECT doc_id, source,
+       ({_MULMOD.format(a='id', b='11400714819323198485')} + 3)
+         % 18446744073709551616 AS h1 FROM t),
+m2 AS (SELECT doc_id, source, xor(h1, h1 // 8589934592) AS h2 FROM m1),
+m3 AS (SELECT doc_id, source,
+       {_MULMOD.format(a='h2', b='13787848793156543929')} AS h3 FROM m2),
+m4 AS (SELECT doc_id, source,
+       CAST(xor(h3, h3 // 536870912) % 1000000 AS BIGINT) AS b FROM m3)
+SELECT doc_id, source,
+       CASE WHEN b < 800000 THEN 'train' ELSE 'val' END AS split
+FROM m4
+"""
+
+
 def stats_quantiles(sf_dir):
     """Exact discrete quantiles of lineitem quantity
     (`stages/sketch.py:exact_quantiles` — per-batch (value, count)
@@ -1397,6 +1427,7 @@ QUERIES = {
     "asof_purchase": asof_purchase,
     "range_click_errors": range_click_errors,
     "split_assign": split_assign,
+    "split_by_source": split_by_source,
     "stats_quantiles": stats_quantiles,
     "stats_heavy_hitters": stats_heavy_hitters,
     "curate_split_sink": curate_split_sink,
@@ -1439,6 +1470,7 @@ ORACLES = {
     "asof_purchase": ASOF_PURCHASE_SQL,
     "range_click_errors": RANGE_CLICK_ERRORS_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
+    "split_by_source": SPLIT_BY_SOURCE_SQL,
     "stats_quantiles": STATS_QUANTILES_SQL,
     "stats_heavy_hitters": STATS_HH_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,

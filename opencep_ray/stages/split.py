@@ -32,6 +32,28 @@ _C2 = np.uint64(0xBF58476D1CE4E5B9)
 _BUCKETS = 1_000_000
 
 
+def keys_to_u64(col) -> np.ndarray:
+    """uint64 view of a key column.  Integer keys reinterpret as
+    two's-complement uint64 (free).  String/binary keys take the upper
+    half of their md5 digest, little-endian — chosen because DuckDB's
+    ``md5_number_lower(s)`` computes the identical value, so string
+    splits stay bit-reproducible in the SQL oracle.  The md5 loop is
+    per-row Python but actor-amortized and ~1 µs/row (same family the
+    winnowing fingerprint uses); split-by-domain corpora hash one short
+    key per document, not the text."""
+    import hashlib
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t):
+        return np.array(
+            [int.from_bytes(hashlib.md5(
+                s.encode() if isinstance(s, str) else s).digest()[8:],
+                "little")
+             for s in arr.to_pylist()], dtype=np.uint64)
+    return arr.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+
+
 def mix64(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """Vectorized splitmix64-style finalizer (wrapping uint64)."""
     with np.errstate(over="ignore"):
@@ -73,9 +95,7 @@ class _AssignSplit:
         self.salt = salt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.key_col].to_numpy(zero_copy_only=False) \
-            .astype(np.int64, copy=False)
-        b = bucket_of(keys, self.salt)
+        b = bucket_of(keys_to_u64(batch[self.key_col]), self.salt)
         names = np.empty(len(b), dtype=object)
         for name, lo, hi in self.thresholds:
             names[(b >= lo) & (b < hi)] = name
@@ -106,10 +126,8 @@ def hash_sample(ds: Dataset, key_col: str, rate: float,
             self.key_col, self.cut, self.salt = key_col, cut, salt
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[self.key_col].to_numpy(zero_copy_only=False) \
-                .astype(np.int64, copy=False)
-            return batch.filter(pa.array(bucket_of(keys, self.salt)
-                                         < self.cut))
+            b = bucket_of(keys_to_u64(batch[self.key_col]), self.salt)
+            return batch.filter(pa.array(b < self.cut))
 
     return ds.map_batches(_Sample, batch_format="pyarrow",
                           concurrency=(1, 8))

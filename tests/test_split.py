@@ -62,6 +62,27 @@ def test_sample_rate_and_key_consistency(ray_session):
     assert set(kept.doc_id) == expect
 
 
+def test_string_keys_group_consistently(ray_session):
+    """String keys: md5-based hashing, all rows of one key in one fold,
+    and the value matches DuckDB's md5_number_lower (the oracle trust
+    anchor)."""
+    import duckdb
+    import ray.data as rd
+    from opencep_ray.stages.split import hash_split, keys_to_u64
+    src = [f"domain-{i % 7}.example" for i in range(700)]
+    t = pa.table({"doc_id": pa.array(range(700), pa.int64()),
+                  "src": pa.array(src)})
+    out = hash_split(rd.from_arrow(t), "src",
+                     {"a": 0.5, "b": 0.5}, salt=0).to_pandas()
+    folds = out.groupby("src").split.nunique()
+    assert (folds == 1).all()          # leakage-free: one fold per key
+    got = keys_to_u64(pa.array(["abc", "xyz"]))
+    want = duckdb.connect().execute(
+        "SELECT md5_number_lower('abc'), md5_number_lower('xyz')"
+    ).fetchone()
+    assert [int(x) for x in got] == [int(w) for w in want]
+
+
 def test_negative_keys_wrap_consistently():
     from opencep_ray.stages.split import bucket_of
     neg = bucket_of(np.array([-1, -2, -3], dtype=np.int64), 0)
