@@ -1168,12 +1168,12 @@ WITH c AS (SELECT event_id, epoch_us(ts) AS ts, user_id FROM events
            WHERE event_type = 'click'),
 p AS (SELECT event_id, epoch_us(ts) AS ts, value, user_id FROM events
       WHERE event_type = 'purchase'),
-j AS (SELECT c.user_id AS key, c.ts, c.event_id AS l_event_id,
+j AS (SELECT c.user_id, c.ts, c.event_id AS l_event_id,
              p.event_id AS r_event_id, p.value AS r_value,
              row_number() OVER (PARTITION BY c.event_id
                                 ORDER BY p.ts DESC, p.event_id DESC) AS rn
       FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts)
-SELECT key, ts, l_event_id, r_event_id, r_value FROM j WHERE rn = 1
+SELECT user_id, ts, l_event_id, r_event_id, r_value FROM j WHERE rn = 1
 """
 
 
@@ -1195,7 +1195,7 @@ def range_click_errors(sf_dir):
 
 
 RANGE_CLICK_ERRORS_SQL = """
-SELECT c.user_id AS key, epoch_us(c.ts) AS ts,
+SELECT c.user_id, epoch_us(c.ts) AS ts,
        c.event_id AS l_event_id, e.event_id AS r_event_id
 FROM events c JOIN events e ON e.user_id = c.user_id
 WHERE c.event_type = 'click' AND e.event_type = 'error'

@@ -49,13 +49,14 @@ def _ts_us(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
-def _side_mapper(cols_keep, rename, key, ts, side, all_fields):
+def _side_mapper(cols_keep, rename, keys, ts, side, all_fields):
     """Builds a map_batches fn projecting one side into the unified
     union schema (absent side's columns become typed nulls)."""
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        data = {"_key": batch[key], "_ts": _ts_us(batch[ts]),
-                "_side": pa.array(np.full(n, side, np.int8))}
+        data = {f"_k{i}": batch[k] for i, k in enumerate(keys)}
+        data["_ts"] = _ts_us(batch[ts])
+        data["_side"] = pa.array(np.full(n, side, np.int8))
         present = {rename[c]: batch[c] for c in cols_keep}
         for name, typ in all_fields:
             data[name] = present.get(name, pa.nulls(n, typ))
@@ -66,7 +67,8 @@ def _side_mapper(cols_keep, rename, key, ts, side, all_fields):
 class _AsofMerge:
     """Per-key merge: latest right row at or before each left row."""
 
-    def __init__(self, l_names, r_names, tolerance_us, how):
+    def __init__(self, key_names, l_names, r_names, tolerance_us, how):
+        self.key_names = key_names
         self.l_names = l_names
         self.r_names = r_names
         self.tolerance_us = tolerance_us
@@ -82,7 +84,8 @@ class _AsofMerge:
         out_cols = {}
         if len(r_ts) == 0:
             if self.how != "left" or len(l_ts) == 0:
-                return _empty_like(group, self.l_names, self.r_names)
+                return _empty_like(group, self.key_names, self.l_names,
+                                   self.r_names)
             idx, matched = np.full(len(l_ts), -1), np.zeros(len(l_ts), bool)
             r_order = np.empty(0, np.int64)
         else:
@@ -99,11 +102,13 @@ class _AsofMerge:
         keep = matched if self.how == "inner" \
             else np.ones(len(l_ts), bool)
         if not keep.any():
-            return _empty_like(group, self.l_names, self.r_names)
+            return _empty_like(group, self.key_names, self.l_names,
+                               self.r_names)
         sel_idx = idx[keep]
         sel_matched = matched[keep]
         l_rows = np.flatnonzero(is_l)[keep]
-        out_cols["key"] = group["_key"].take(pa.array(l_rows))
+        for i, kn in enumerate(self.key_names):
+            out_cols[kn] = group[f"_k{i}"].take(pa.array(l_rows))
         out_cols["ts"] = pa.array(l_ts[keep], pa.int64())
         for name in self.l_names:
             out_cols[name] = group[name].take(pa.array(l_rows))
@@ -124,15 +129,17 @@ class _AsofMerge:
         return pa.table(out_cols)
 
 
-def _empty_like(group: pa.Table, l_names, r_names) -> pa.Table:
-    cols = {"key": group["_key"].slice(0, 0),
-            "ts": pa.array([], pa.int64())}
+def _empty_like(group: pa.Table, key_names, l_names, r_names) -> pa.Table:
+    cols = {kn: group[f"_k{i}"].slice(0, 0)
+            for i, kn in enumerate(key_names)}
+    cols["ts"] = pa.array([], pa.int64())
     for name in l_names + r_names:
         cols[name] = group[name].slice(0, 0)
     return pa.table(cols)
 
 
 def _plan_sides(left, right, key, ts, left_cols, right_cols):
+    keys = [key] if isinstance(key, str) else list(key)
     l_schema = left.schema()
     r_schema = right.schema()
     l_names = [f"l_{c}" for c in left_cols]
@@ -143,29 +150,33 @@ def _plan_sides(left, right, key, ts, left_cols, right_cols):
                for c in right_cols]
     l_map = _side_mapper(list(left_cols),
                          {c: f"l_{c}" for c in left_cols},
-                         key, ts, 1, fields)
+                         keys, ts, 1, fields)
     r_map = _side_mapper(list(right_cols),
                          {c: f"r_{c}" for c in right_cols},
-                         key, ts, 0, fields)
+                         keys, ts, 0, fields)
     lu = left.map_batches(l_map, batch_format="pyarrow")
     ru = right.map_batches(r_map, batch_format="pyarrow")
-    return lu, ru, l_names, r_names
+    return lu, ru, keys, l_names, r_names
 
 
-def asof_join(left: Dataset, right: Dataset, key: str, ts: str,
+def asof_join(left: Dataset, right: Dataset, key, ts: str,
               left_cols: Sequence[str], right_cols: Sequence[str],
               tolerance_us: Optional[int] = None, how: str = "inner",
               num_partitions: int = 16) -> Dataset:
-    """For each left row, the latest right row with the same ``key`` and
+    """For each left row, the latest right row with the same ``key``
+    (one column name or a sequence for composite keys) and
     ``right.ts <= left.ts`` (ties: greatest ts, then greatest first
-    right column).  Output: ``key``, ``ts`` (left, int64 µs), ``l_<c>``
-    for ``left_cols``, ``r_<c>`` for ``right_cols``."""
+    right column).  Output: the key column(s) under their original
+    names, ``ts`` (left, int64 µs), ``l_<c>`` for ``left_cols``,
+    ``r_<c>`` for ``right_cols``."""
     assert how in ("inner", "left"), how
-    lu, ru, l_names, r_names = _plan_sides(left, right, key, ts,
-                                           left_cols, right_cols)
+    lu, ru, keys, l_names, r_names = _plan_sides(left, right, key, ts,
+                                                 left_cols, right_cols)
     return (lu.union(ru)
-            .groupby("_key", num_partitions=num_partitions)
-            .map_groups(_AsofMerge(l_names, r_names, tolerance_us, how),
+            .groupby([f"_k{i}" for i in range(len(keys))],
+                     num_partitions=num_partitions)
+            .map_groups(_AsofMerge(keys, l_names, r_names,
+                                   tolerance_us, how),
                         batch_format="pyarrow"))
 
 
@@ -199,7 +210,8 @@ class _RangeMerge:
     right timestamps + two searchsorteds give each left row its
     [lo_i, hi_i) right slice; pairs materialize via repeat/arange."""
 
-    def __init__(self, l_names, r_names, lo_us, hi_us):
+    def __init__(self, key_names, l_names, r_names, lo_us, hi_us):
+        self.key_names = key_names
         self.l_names, self.r_names = l_names, r_names
         self.lo, self.hi = lo_us, hi_us
         self.__name__ = "RangeMerge"
@@ -212,7 +224,8 @@ class _RangeMerge:
         l_pos = np.flatnonzero(is_l)
         r_pos = np.flatnonzero(~is_l)
         if len(l_pos) == 0 or len(r_pos) == 0:
-            return _empty_like(group, self.l_names, self.r_names)
+            return _empty_like(group, self.key_names, self.l_names,
+                               self.r_names)
         r_ts = ts[r_pos]
         order = np.argsort(r_ts, kind="stable")
         r_pos = r_pos[order]
@@ -224,7 +237,8 @@ class _RangeMerge:
         counts = hi_i - lo_i
         total = int(counts.sum())
         if total == 0:
-            return _empty_like(group, self.l_names, self.r_names)
+            return _empty_like(group, self.key_names, self.l_names,
+                               self.r_names)
         l_rep = np.repeat(np.arange(len(l_pos)), counts)
         cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
         r_sel = np.arange(total) - np.repeat(cum, counts) \
@@ -234,8 +248,9 @@ class _RangeMerge:
         own = r_bkt[r_sel] == bkt[l_pos][l_rep]
         l_take = pa.array(l_pos[l_rep[own]])
         r_take = pa.array(r_pos[r_sel[own]])
-        cols = {"key": group["_key"].take(l_take),
-                "ts": pa.array(l_ts[l_rep[own]], pa.int64())}
+        cols = {kn: group[f"_k{i}"].take(l_take)
+                for i, kn in enumerate(self.key_names)}
+        cols["ts"] = pa.array(l_ts[l_rep[own]], pa.int64())
         for name in self.l_names:
             cols[name] = group[name].take(l_take)
         for name in self.r_names:
@@ -243,22 +258,24 @@ class _RangeMerge:
         return pa.table(cols)
 
 
-def range_join(left: Dataset, right: Dataset, key: str, ts: str,
+def range_join(left: Dataset, right: Dataset, key, ts: str,
                left_cols: Sequence[str], right_cols: Sequence[str],
                lo_us: int, hi_us: int,
                num_partitions: int = 16) -> Dataset:
-    """All pairs with equal ``key`` and ``right.ts`` within
-    ``[left.ts + lo_us, left.ts + hi_us]`` (inclusive).  Output columns
-    as :func:`asof_join`."""
+    """All pairs with equal ``key`` (one name or a composite sequence)
+    and ``right.ts`` within ``[left.ts + lo_us, left.ts + hi_us]``
+    (inclusive).  Output columns as :func:`asof_join`."""
     assert hi_us >= lo_us, (lo_us, hi_us)
     w = max(hi_us - lo_us, 1)
-    lu, ru, l_names, r_names = _plan_sides(left, right, key, ts,
-                                           left_cols, right_cols)
+    lu, ru, keys, l_names, r_names = _plan_sides(left, right, key, ts,
+                                                 left_cols, right_cols)
     lb = lu.map_batches(_RangeBucket(1, lo_us, hi_us, w),
                         batch_format="pyarrow")
     rb = ru.map_batches(_RangeBucket(0, lo_us, hi_us, w),
                         batch_format="pyarrow")
     return (lb.union(rb)
-            .groupby(["_key", "_bkt"], num_partitions=num_partitions)
-            .map_groups(_RangeMerge(l_names, r_names, lo_us, hi_us),
+            .groupby([f"_k{i}" for i in range(len(keys))] + ["_bkt"],
+                     num_partitions=num_partitions)
+            .map_groups(_RangeMerge(keys, l_names, r_names,
+                                    lo_us, hi_us),
                         batch_format="pyarrow"))

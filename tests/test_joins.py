@@ -58,7 +58,7 @@ def test_asof_matches_brute_force(ray_session):
     lt = _mk(300, 12, seed=1)
     rt = _mk(250, 12, seed=2)
     out = _ray_asof(lt, rt)
-    got = sorted((int(r.key), int(r.ts), int(r.l_rid), int(r.r_rid),
+    got = sorted((int(r.k), int(r.ts), int(r.l_rid), int(r.r_rid),
                   float(r.r_v)) for r in out.itertuples(index=False))
     assert got == [(a, b, c, d, pytest.approx(e))
                    for a, b, c, d, e in _brute_asof(lt, rt)]
@@ -107,7 +107,7 @@ def test_range_join_matches_brute_force(ray_session):
     lo, hi = -60_000, 25_000
     out = range_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "ts",
                      ["rid"], ["rid"], lo_us=lo, hi_us=hi).to_pandas()
-    got = sorted((int(r.key), int(r.ts), int(r.l_rid), int(r.r_rid))
+    got = sorted((int(r.k), int(r.ts), int(r.l_rid), int(r.r_rid))
                  for r in out.itertuples(index=False))
     assert got == _brute_range(lt, rt, lo, hi)
 
@@ -137,6 +137,33 @@ def test_range_join_bucket_boundaries_exact_once(ray_session):
     # [99,199] -> rights 100,151; right 200 matches nothing
     assert got == _c([(0, 10), (0, 11), (1, 11), (1, 12)],
                      lt, rt, lo, hi)
+
+
+def test_composite_key_joins(ray_session):
+    """Composite (tenant, user) keys: rows only pair within the SAME
+    key tuple, and both key columns surface under their original
+    names."""
+    import ray.data as rd
+    from opencep_ray.stages.joins import asof_join, range_join
+    lt = pa.table({"tenant": pa.array([1, 1, 2], pa.int64()),
+                   "user": pa.array([10, 11, 10], pa.int64()),
+                   "ts": pa.array([100, 100, 100], pa.int64()),
+                   "rid": pa.array([0, 1, 2], pa.int64())})
+    rt = pa.table({"tenant": pa.array([1, 2], pa.int64()),
+                   "user": pa.array([10, 10], pa.int64()),
+                   "ts": pa.array([50, 60], pa.int64()),
+                   "rid": pa.array([100, 200], pa.int64())})
+    out = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                    ["tenant", "user"], "ts", ["rid"], ["rid"]) \
+        .to_pandas().sort_values("l_rid")
+    # (1,10)->100, (1,11) unmatched, (2,10)->200
+    assert out[["tenant", "user", "l_rid", "r_rid"]].values.tolist() == \
+        [[1, 10, 0, 100], [2, 10, 2, 200]]
+    rj = range_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                    ["tenant", "user"], "ts", ["rid"], ["rid"],
+                    lo_us=-100, hi_us=0).to_pandas().sort_values("l_rid")
+    assert rj[["tenant", "user", "l_rid", "r_rid"]].values.tolist() == \
+        [[1, 10, 0, 100], [2, 10, 2, 200]]
 
 
 def _c(expect, lt, rt, lo, hi):

@@ -16,7 +16,7 @@ def _group_table(l_ts, r_ts, l_ids, r_ids):
     interleaved order irrelevant to the kernel."""
     n_l, n_r = len(l_ts), len(r_ts)
     return pa.table({
-        "_key": pa.array([1] * (n_l + n_r), pa.int64()),
+        "_k0": pa.array([1] * (n_l + n_r), pa.int64()),
         "_ts": pa.array(list(l_ts) + list(r_ts), pa.int64()),
         "_side": pa.array([1] * n_l + [0] * n_r, pa.int8()),
         "l_id": pa.array(list(l_ids) + [None] * n_r, pa.int64()),
@@ -35,7 +35,7 @@ def test_asof_merge_kernel(l_ts, r_ts, tol, how):
     from opencep_ray.stages.joins import _AsofMerge
     l_ids = list(range(len(l_ts)))
     r_ids = list(range(100, 100 + len(r_ts)))
-    out = _AsofMerge(["l_id"], ["r_id"], tol, how)(
+    out = _AsofMerge(["k"], ["l_id"], ["r_id"], tol, how)(
         _group_table(l_ts, r_ts, l_ids, r_ids))
     got = {}
     for row in out.to_pylist():
@@ -66,13 +66,13 @@ def test_range_bucket_plus_merge_exactly_once(l_ts, r_ts, lo, width):
     l_ids = list(range(len(l_ts)))
     r_ids = list(range(100, 100 + len(r_ts)))
     lt = pa.table({
-        "_key": pa.array([1] * len(l_ts), pa.int64()),
+        "_k0": pa.array([1] * len(l_ts), pa.int64()),
         "_ts": pa.array(l_ts, pa.int64()),
         "_side": pa.array([1] * len(l_ts), pa.int8()),
         "l_id": pa.array(l_ids, pa.int64()),
         "r_id": pa.array([None] * len(l_ts), pa.int64())})
     rt = pa.table({
-        "_key": pa.array([1] * len(r_ts), pa.int64()),
+        "_k0": pa.array([1] * len(r_ts), pa.int64()),
         "_ts": pa.array(r_ts, pa.int64()),
         "_side": pa.array([0] * len(r_ts), pa.int8()),
         "l_id": pa.array([None] * len(r_ts), pa.int64()),
@@ -80,7 +80,7 @@ def test_range_bucket_plus_merge_exactly_once(l_ts, r_ts, lo, width):
     lb = _RangeBucket(1, lo, hi, w)(lt)
     rb = _RangeBucket(0, lo, hi, w)(rt)
     both = pa.concat_tables([lb, rb]).to_pandas()
-    merge = _RangeMerge(["l_id"], ["r_id"], lo, hi)
+    merge = _RangeMerge(["k"], ["l_id"], ["r_id"], lo, hi)
     pairs = []
     for _, g in both.groupby("_bkt"):
         out = merge(pa.Table.from_pandas(g, preserve_index=False))
