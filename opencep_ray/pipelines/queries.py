@@ -1177,6 +1177,26 @@ SELECT user_id, ts, l_event_id, r_event_id, r_value FROM j WHERE rn = 1
 """
 
 
+def asof_purchase_broadcast(sf_dir):
+    """Same join as ``asof_purchase`` through the NO-shuffle broadcast
+    path (`stages/joins.py:asof_join_broadcast` — the small purchases
+    side ships once via ray.put, every left batch probes it in place).
+    Shares the oracle with the shuffled variant, so the driver verifies
+    both code paths produce identical answers."""
+    import pyarrow.parquet as pq
+    from ..stages.joins import asof_join_broadcast
+    clicks = _events(sf_dir, columns=("event_id", "ts", "user_id",
+                                      "event_type")) \
+        .filter(expr="event_type == 'click'")
+    purchases = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        filters=[("event_type", "=", "purchase")])
+    return asof_join_broadcast(clicks, purchases, key="user_id",
+                               ts="ts", left_cols=["event_id"],
+                               right_cols=["event_id", "value"])
+
+
 def range_click_errors(sf_dir):
     """All (click, error) pairs per user with the error in the 6 h
     window ending at the click (`stages/joins.py:range_join` —
@@ -1425,6 +1445,7 @@ QUERIES = {
     "ann_ivf": ann_ivf_q,
     "sink_roundtrip": sink_roundtrip,
     "asof_purchase": asof_purchase,
+    "asof_purchase_broadcast": asof_purchase_broadcast,
     "range_click_errors": range_click_errors,
     "split_assign": split_assign,
     "split_by_source": split_by_source,
@@ -1468,6 +1489,7 @@ ORACLES = {
     "ann_ivf": ANN_IVF_SQL,
     "sink_roundtrip": SINK_ROUNDTRIP_SQL,
     "asof_purchase": ASOF_PURCHASE_SQL,
+    "asof_purchase_broadcast": ASOF_PURCHASE_SQL,
     "range_click_errors": RANGE_CLICK_ERRORS_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
     "split_by_source": SPLIT_BY_SOURCE_SQL,

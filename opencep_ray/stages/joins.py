@@ -279,3 +279,145 @@ def range_join(left: Dataset, right: Dataset, key, ts: str,
             .map_groups(_RangeMerge(keys, l_names, r_names,
                                     lo_us, hi_us),
                         batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast as-of — the no-shuffle path for a small right side
+
+
+def _runs(order: np.ndarray, key_arrs) -> list:
+    """[(start, end)] runs of equal composite keys in sorted order —
+    boundary detection is vectorized (one != per key column)."""
+    n = len(order)
+    if n == 0:
+        return []
+    change = np.zeros(n - 1, dtype=bool) if n > 1 else \
+        np.empty(0, dtype=bool)
+    for a in key_arrs:
+        s = a[order]
+        change |= s[1:] != s[:-1]
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [n]])
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def build_asof_index(right: pa.Table, key, ts: str,
+                     right_cols: Sequence[str]) -> dict:
+    """Driver-side index of a SMALL right table: per key, right rows
+    sorted by (ts, first right column) — ship once with ``ray.put``.
+    Same tie-break as the shuffled path, so both variants agree."""
+    keys = [key] if isinstance(key, str) else list(key)
+    sort_keys = [(k, "ascending") for k in keys] \
+        + [(ts, "ascending"), (right_cols[0], "ascending")]
+    right = right.combine_chunks().take(
+        pc.sort_indices(right, sort_keys=sort_keys))
+    key_arrs = [right[k].to_numpy(zero_copy_only=False) for k in keys]
+    ts_arr = _ts_us(right[ts]).to_numpy(zero_copy_only=False)
+    val_arrs = {c: right[c].to_numpy(zero_copy_only=False)
+                for c in right_cols}
+    index = {}
+    order = np.arange(right.num_rows)
+    for s, e in _runs(order, key_arrs):
+        kt = tuple(a[s] for a in key_arrs)
+        kt = kt[0] if len(kt) == 1 else kt
+        index[kt] = (ts_arr[s:e], {c: v[s:e] for c, v in
+                                   val_arrs.items()})
+    return index
+
+
+class _BroadcastAsofProbe:
+    """map_batches stage probing the broadcast index — zero shuffle;
+    per-batch work is one lexsort + one searchsorted per distinct key
+    in the batch (vectorized within each key run)."""
+
+    def __init__(self, index_payload, keys, ts, left_cols, right_cols,
+                 tolerance_us, how):
+        import ray
+        self.index = ray.get(index_payload) \
+            if isinstance(index_payload, ray.ObjectRef) else index_payload
+        self.keys = keys
+        self.ts = ts
+        self.left_cols = list(left_cols)
+        self.right_cols = list(right_cols)
+        self.tolerance_us = tolerance_us
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = {k: batch[k].slice(0, 0) for k in self.keys}
+        empty["ts"] = pa.array([], pa.int64())
+        for c in self.left_cols:
+            empty[f"l_{c}"] = batch[c].slice(0, 0)
+        if n == 0:
+            for c in self.right_cols:
+                empty[f"r_{c}"] = pa.array([], pa.null())
+            return pa.table(empty)
+        key_arrs = [batch[k].to_numpy(zero_copy_only=False)
+                    for k in self.keys]
+        l_ts = _ts_us(batch[self.ts]).to_numpy(zero_copy_only=False)
+        order = np.lexsort(tuple(key_arrs[::-1]))
+        take_l: list = []          # batch row positions to emit
+        r_vals = {c: [] for c in self.right_cols}
+        for s, e in _runs(order, key_arrs):
+            rows = order[s:e]
+            kt = tuple(a[rows[0]] for a in key_arrs)
+            kt = kt[0] if len(kt) == 1 else kt
+            entry = self.index.get(kt)
+            if entry is None:
+                if self.how == "left":
+                    take_l.append(rows)
+                    for c in self.right_cols:
+                        r_vals[c].append(np.full(len(rows), None,
+                                                 dtype=object))
+                continue
+            r_ts, vals = entry
+            idx = np.searchsorted(r_ts, l_ts[rows], side="right") - 1
+            matched = idx >= 0
+            if self.tolerance_us is not None:
+                lag = l_ts[rows] - r_ts[np.clip(idx, 0, None)]
+                matched &= lag <= self.tolerance_us
+            keep = matched if self.how == "inner" \
+                else np.ones(len(rows), bool)
+            if not keep.any():
+                continue
+            take_l.append(rows[keep])
+            sel = np.clip(idx[keep], 0, None)
+            m = matched[keep]
+            for c in self.right_cols:
+                picked = vals[c][sel].astype(object)
+                picked[~m] = None
+                r_vals[c].append(picked)
+        if not take_l:
+            for c in self.right_cols:
+                empty[f"r_{c}"] = pa.array([], pa.null())
+            return pa.table(empty)
+        take = pa.array(np.concatenate(take_l))
+        out = {k: batch[k].take(take) for k in self.keys}
+        out["ts"] = pa.array(l_ts[take.to_numpy()], pa.int64())
+        for c in self.left_cols:
+            out[f"l_{c}"] = batch[c].take(take)
+        for c in self.right_cols:
+            out[f"r_{c}"] = pa.array(list(np.concatenate(r_vals[c])))
+        return pa.table(out)
+
+
+def asof_join_broadcast(left: Dataset, right: pa.Table, key, ts: str,
+                        left_cols: Sequence[str],
+                        right_cols: Sequence[str],
+                        tolerance_us: Optional[int] = None,
+                        how: str = "inner") -> Dataset:
+    """As-of join with a SMALL in-memory right side: the per-key sorted
+    index ships once via ``ray.put`` and every batch probes it inside
+    ``map_batches`` — NO shuffle, no union, no sort; the left side
+    streams straight through.  Same semantics (tie-break, tolerance,
+    inner/left) and output schema as :func:`asof_join`; prefer this
+    whenever the right side is a dimension/reference table that fits in
+    one object (the broadcast-small-sides rule)."""
+    import ray
+    assert how in ("inner", "left"), how
+    keys = [key] if isinstance(key, str) else list(key)
+    index_ref = ray.put(build_asof_index(right, key, ts, right_cols))
+    return left.map_batches(
+        _BroadcastAsofProbe, batch_format="pyarrow",
+        fn_constructor_args=(index_ref, keys, ts, list(left_cols),
+                             list(right_cols), tolerance_us, how),
+        concurrency=(1, 8))

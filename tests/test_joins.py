@@ -166,6 +166,47 @@ def test_composite_key_joins(ray_session):
         [[1, 10, 0, 100], [2, 10, 2, 200]]
 
 
+def test_broadcast_asof_equals_shuffled(ray_session):
+    """The no-shuffle broadcast variant returns exactly what the
+    shuffled asof_join returns — inner/left, tolerance, keys missing
+    from the right side — on random data."""
+    import ray.data as rd
+    from opencep_ray.stages.joins import asof_join, asof_join_broadcast
+    lt = _mk(300, 12, seed=5)
+    rt = _mk(80, 8, seed=6)     # keys 8-11 absent from the right side
+
+    def canon(df):
+        df = df.fillna(-1)
+        return sorted(map(tuple, df[sorted(df.columns)]
+                          .astype(float).values.tolist()))
+
+    for kw in ({}, {"how": "left"}, {"tolerance_us": 50_000},
+               {"how": "left", "tolerance_us": 50_000}):
+        a = asof_join(rd.from_arrow(lt), rd.from_arrow(rt), "k", "ts",
+                      ["rid"], ["rid", "v"], **kw).to_pandas()
+        b = asof_join_broadcast(rd.from_arrow(lt), rt, "k", "ts",
+                                ["rid"], ["rid", "v"], **kw).to_pandas()
+        assert canon(a) == canon(b), kw
+
+
+def test_broadcast_asof_composite_key(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.joins import asof_join_broadcast
+    lt = pa.table({"tenant": pa.array([1, 2], pa.int64()),
+                   "user": pa.array([10, 10], pa.int64()),
+                   "ts": pa.array([100, 100], pa.int64()),
+                   "rid": pa.array([0, 1], pa.int64())})
+    rt = pa.table({"tenant": pa.array([1, 2], pa.int64()),
+                   "user": pa.array([10, 10], pa.int64()),
+                   "ts": pa.array([50, 60], pa.int64()),
+                   "rid": pa.array([100, 200], pa.int64())})
+    out = asof_join_broadcast(rd.from_arrow(lt), rt, ["tenant", "user"],
+                              "ts", ["rid"], ["rid"]) \
+        .to_pandas().sort_values("l_rid")
+    assert out[["tenant", "user", "l_rid", "r_rid"]].values.tolist() == \
+        [[1, 10, 0, 100], [2, 10, 1, 200]]
+
+
 def _c(expect, lt, rt, lo, hi):
     brute = [(l, r) for _, _, l, r in _brute_range(lt, rt, lo, hi)]
     assert sorted(expect) == sorted(brute), "test vector wrong"
