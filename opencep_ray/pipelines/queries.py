@@ -1106,6 +1106,37 @@ FROM m4
 """
 
 
+def sample_stratified(sf_dir):
+    """Language-rebalancing sample: keep 30 % of English documents, all
+    German, 50 % of everything else — deterministic per doc_id
+    (`stages/split.py:stratified_sample`).  Oracle reproduces the exact
+    bucket arithmetic plus the per-stratum CASE cut."""
+    from ..stages.split import stratified_sample
+    docs = _documents(sf_dir, columns=("doc_id", "lang"))
+    out = stratified_sample(docs, "doc_id", "lang",
+                            {"en": 0.3, "de": 1.0}, default_rate=0.5,
+                            salt=11)
+    return out.select_columns(["doc_id", "lang"])
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH t AS (SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS id
+           FROM documents),
+m1 AS (SELECT doc_id, lang,
+       ({_MULMOD.format(a='id', b='11400714819323198485')} + 11)
+         % 18446744073709551616 AS h1 FROM t),
+m2 AS (SELECT doc_id, lang, xor(h1, h1 // 8589934592) AS h2 FROM m1),
+m3 AS (SELECT doc_id, lang,
+       {_MULMOD.format(a='h2', b='13787848793156543929')} AS h3 FROM m2),
+m4 AS (SELECT doc_id, lang,
+       CAST(xor(h3, h3 // 536870912) % 1000000 AS BIGINT) AS b FROM m3)
+SELECT doc_id, lang FROM m4
+WHERE b < CASE lang WHEN 'en' THEN 300000
+                    WHEN 'de' THEN 1000000
+                    ELSE 500000 END
+"""
+
+
 def stats_quantiles(sf_dir):
     """Exact discrete quantiles of lineitem quantity
     (`stages/sketch.py:exact_quantiles` — per-batch (value, count)
@@ -1449,6 +1480,7 @@ QUERIES = {
     "range_click_errors": range_click_errors,
     "split_assign": split_assign,
     "split_by_source": split_by_source,
+    "sample_stratified": sample_stratified,
     "stats_quantiles": stats_quantiles,
     "stats_heavy_hitters": stats_heavy_hitters,
     "curate_split_sink": curate_split_sink,
@@ -1493,6 +1525,7 @@ ORACLES = {
     "range_click_errors": RANGE_CLICK_ERRORS_SQL,
     "split_assign": SPLIT_ASSIGN_SQL,
     "split_by_source": SPLIT_BY_SOURCE_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "stats_quantiles": STATS_QUANTILES_SQL,
     "stats_heavy_hitters": STATS_HH_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,

@@ -131,3 +131,34 @@ def hash_sample(ds: Dataset, key_col: str, rate: float,
 
     return ds.map_batches(_Sample, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def stratified_sample(ds: Dataset, key_col: str, strata_col: str,
+                      rates: Dict[str, float], default_rate: float = 0.0,
+                      salt: int = 0) -> Dataset:
+    """Per-stratum deterministic sampling — the standard rebalancing
+    move (downsample the dominant language/domain, keep the rest): a
+    row survives iff ``bucket(key) < rates[stratum] * 1e6``.  Same
+    bucket function as :func:`hash_split`, so sampling composes with
+    splits without correlation (use a different salt).  Strata absent
+    from ``rates`` get ``default_rate``.  Vectorized: one unique() over
+    the batch's strata + one integer compare per row."""
+    cuts_map = {s: int(round(r * _BUCKETS)) for s, r in rates.items()}
+    default_cut = int(round(default_rate * _BUCKETS))
+
+    class _Stratified:
+        def __init__(self):
+            self.__name__ = "StratifiedSample"
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            b = bucket_of(keys_to_u64(batch[key_col]), salt)
+            strata = batch[strata_col].to_numpy(zero_copy_only=False)
+            u, inv = np.unique(strata, return_inverse=True)
+            cuts = np.array([cuts_map.get(s, default_cut) for s in u],
+                            dtype=np.int64)[inv]
+            return batch.filter(pa.array(b < cuts))
+
+    return ds.map_batches(_Stratified, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -83,6 +83,27 @@ def test_string_keys_group_consistently(ray_session):
     assert [int(x) for x in got] == [int(w) for w in want]
 
 
+def test_stratified_sample_rates(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.split import stratified_sample
+    rng = np.random.RandomState(1)
+    t = pa.table({"doc_id": pa.array(range(6000), pa.int64()),
+                  "lang": pa.array(rng.choice(["en", "de", "fr"], 6000))})
+    out = stratified_sample(rd.from_arrow(t), "doc_id", "lang",
+                            {"en": 0.2, "de": 1.0}, default_rate=0.5,
+                            salt=2).to_pandas()
+    orig = t.to_pandas().lang.value_counts()
+    kept = out.lang.value_counts()
+    assert abs(kept["en"] / orig["en"] - 0.2) < 0.04
+    assert kept["de"] == orig["de"]                  # rate 1.0 keeps all
+    assert abs(kept["fr"] / orig["fr"] - 0.5) < 0.04  # default rate
+    # deterministic re-run
+    again = stratified_sample(rd.from_arrow(t), "doc_id", "lang",
+                              {"en": 0.2, "de": 1.0}, default_rate=0.5,
+                              salt=2).to_pandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
 def test_negative_keys_wrap_consistently():
     from opencep_ray.stages.split import bucket_of
     neg = bucket_of(np.array([-1, -2, -3], dtype=np.int64), 0)
