@@ -35,7 +35,7 @@ def ensure_transcripts() -> str:
         import pyarrow.parquet as pq
         from ..sources.transcripts import synth_transcripts
         os.makedirs(os.path.dirname(TRANSCRIPTS_PATH), exist_ok=True)
-        tmp = TRANSCRIPTS_PATH + ".tmp"
+        tmp = TRANSCRIPTS_PATH + f".tmp{os.getpid()}"
         pq.write_table(synth_transcripts(300, 20, seed=42), tmp)
         os.rename(tmp, TRANSCRIPTS_PATH)
     return TRANSCRIPTS_PATH
@@ -108,15 +108,15 @@ def ensure_signature_tables(sf_dir: str = AUX_SF_DIR):
         # parameters must mirror dedup_minhash: num_perm=64, bands=16, k=2
         sigs = MinHashSignatures("text", "doc_id", 64, 2)(docs)
         bands = _BandExplode("doc_id", 16, 4)(sigs)
-    tmp = SIMHASH_SIG_PATH + ".tmp"
+    tmp = SIMHASH_SIG_PATH + f".tmp{os.getpid()}"
     pq.write_table(sim, tmp)
     os.rename(tmp, SIMHASH_SIG_PATH)
-    tmp = MINHASH_BANDS_PATH + ".tmp"
+    tmp = MINHASH_BANDS_PATH + f".tmp{os.getpid()}"
     pq.write_table(bands, tmp)
     os.rename(tmp, MINHASH_BANDS_PATH)
-    with open(_SIG_MARKER + ".tmp", "w") as f:
+    with open(_SIG_MARKER + f".tmp{os.getpid()}", "w") as f:
         f.write(marker)
-    os.rename(_SIG_MARKER + ".tmp", _SIG_MARKER)
+    os.rename(_SIG_MARKER + f".tmp{os.getpid()}", _SIG_MARKER)
     return SIMHASH_SIG_PATH, MINHASH_BANDS_PATH
 
 
@@ -829,6 +829,75 @@ FROM mins
 """
 
 
+def text_redact(sf_dir):
+    """PII-style regex redaction (`stages/text.py:RegexRedact`), demoed
+    on the one table whose values actually match a rule: customer names
+    carry long digit runs.  The email/IP rules are unit-tested on
+    synthetic strings (no natural PII exists in the testdata); the
+    digit rule exercises the identical kernel path end-to-end against
+    DuckDB's RE2 `regexp_replace(..., 'g')`."""
+    from ..sources import read_parquet_clean
+    from ..stages.text import RegexRedact
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=("c_custkey", "c_name"))
+    ds = cust.map_batches(
+        RegexRedact(col="c_name",
+                    rules=(("digits", r"[0-9]{3,}", "<NUM>"),),
+                    out_col="name_redacted"),
+        batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "name_redacted",
+                              "n_redact_digits"])
+
+
+TEXT_REDACT_SQL = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]{3,}', '<NUM>', 'g') AS name_redacted,
+       len(regexp_extract_all(c_name, '[0-9]{3,}')) AS n_redact_digits
+FROM customer
+"""
+
+
+def text_repetition(sf_dir):
+    """Gopher-style repetition quality filter
+    (`stages/text.py:RepetitionStats`): per-document top-word fraction,
+    distinct-token ratio and duplicate-bigram fraction, then the
+    standard keep rule (top word ≤ 30 %, ≥ 40 % distinct tokens)."""
+    from ..stages.text import RepetitionStats
+    ds = _documents(sf_dir).map_batches(RepetitionStats(),
+                                        batch_format="pyarrow",
+                                        concurrency=4)
+    ds = ds.map_batches(lambda t: t.filter(pc.and_(
+        pc.less_equal(t["top_word_frac"], 0.30),
+        pc.greater_equal(t["distinct_ratio"], 0.40))),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "top_word_frac", "distinct_ratio",
+                              "dup_bigram_frac"])
+
+
+TEXT_REPETITION_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+cnt AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(n) AS top_n FROM cnt GROUP BY 1),
+base AS (SELECT doc_id, len(toks) AS n_tok,
+                len(list_distinct(toks)) AS n_dist,
+                CASE WHEN len(toks) > 1 THEN
+                  [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+                ELSE [] END AS bigrams
+         FROM tok)
+SELECT b.doc_id,
+  t.top_n::DOUBLE / b.n_tok AS top_word_frac,
+  b.n_dist::DOUBLE / b.n_tok AS distinct_ratio,
+  CASE WHEN len(b.bigrams) = 0 THEN 0.0
+       ELSE 1.0 - len(list_distinct(b.bigrams))::DOUBLE / len(b.bigrams)
+  END AS dup_bigram_frac
+FROM base b JOIN tops t USING (doc_id)
+WHERE t.top_n::DOUBLE / b.n_tok <= 0.30
+  AND b.n_dist::DOUBLE / b.n_tok >= 0.40
+"""
+
+
 def ann_topk(sf_dir):
     from ..stages.ann import ann_brute_force
     emb = _embeddings(sf_dir)
@@ -906,15 +975,15 @@ def ensure_ivf_tables(sf_dir: str = AUX_SF_DIR):
     probe_t = pa.table({
         "q_id": pa.array(np.repeat(q_ids, probe.shape[1])),
         "centroid": pa.array(probe.reshape(-1).astype(np.int32))})
-    tmp = IVF_ASSIGN_PATH + ".tmp"
+    tmp = IVF_ASSIGN_PATH + f".tmp{os.getpid()}"
     pq.write_table(assign_t, tmp)
     os.rename(tmp, IVF_ASSIGN_PATH)
-    tmp = IVF_PROBE_PATH + ".tmp"
+    tmp = IVF_PROBE_PATH + f".tmp{os.getpid()}"
     pq.write_table(probe_t, tmp)
     os.rename(tmp, IVF_PROBE_PATH)
-    with open(_IVF_MARKER + ".tmp", "w") as f:
+    with open(_IVF_MARKER + f".tmp{os.getpid()}", "w") as f:
         f.write(sf_dir)
-    os.rename(_IVF_MARKER + ".tmp", _IVF_MARKER)
+    os.rename(_IVF_MARKER + f".tmp{os.getpid()}", _IVF_MARKER)
     return IVF_ASSIGN_PATH, IVF_PROBE_PATH
 
 
@@ -995,15 +1064,15 @@ def ensure_lsh_tables(sf_dir: str = AUX_SF_DIR):
         "tbl": pa.array(np.tile(np.arange(n_tables, dtype=np.int32),
                                 int(qmask.sum()))),
         "code": pa.array(codes[qmask].reshape(-1))})
-    tmp = LSH_ASSIGN_PATH + ".tmp"
+    tmp = LSH_ASSIGN_PATH + f".tmp{os.getpid()}"
     pq.write_table(assign_t, tmp)
     os.rename(tmp, LSH_ASSIGN_PATH)
-    tmp = LSH_PROBE_PATH + ".tmp"
+    tmp = LSH_PROBE_PATH + f".tmp{os.getpid()}"
     pq.write_table(probe_t, tmp)
     os.rename(tmp, LSH_PROBE_PATH)
-    with open(_LSH_MARKER + ".tmp", "w") as f:
+    with open(_LSH_MARKER + f".tmp{os.getpid()}", "w") as f:
         f.write(sf_dir)
-    os.rename(_LSH_MARKER + ".tmp", _LSH_MARKER)
+    os.rename(_LSH_MARKER + f".tmp{os.getpid()}", _LSH_MARKER)
     return LSH_ASSIGN_PATH, LSH_PROBE_PATH
 
 
@@ -1471,6 +1540,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_redact": text_redact,
+    "text_repetition": text_repetition,
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
@@ -1516,6 +1587,8 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_redact": TEXT_REDACT_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,

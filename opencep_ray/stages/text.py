@@ -141,6 +141,123 @@ class LangId:
                                    pc.cast(out, pa.string()))
 
 
+class RegexRedact:
+    """Rule-based PII-style redaction: an ordered list of
+    ``(name, pattern, replacement)`` rules applied sequentially to a
+    text column (later rules see earlier rules' output).  Emits the
+    redacted text plus one ``n_redact_<name>`` match-count column per
+    rule.
+
+    Patterns are RE2 (pyarrow's regex engine) — the same engine DuckDB
+    uses — so ``regexp_replace(..., 'g')`` / ``regexp_extract_all`` in
+    an oracle reproduce both the rewrite and the counts exactly.
+    Vectorized: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` kernel call per rule per batch; an
+    actor-pool stage so rule setup happens once per actor."""
+
+    DEFAULT_RULES = (
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+        ("digits", r"[0-9]{3,}", "<NUM>"),
+    )
+
+    def __init__(self, col: str = "text", rules=None,
+                 out_col: Optional[str] = None):
+        self.col = col
+        self.rules = tuple(rules) if rules is not None else self.DEFAULT_RULES
+        self.out_col = out_col or f"{col}_redacted"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch[self.col], pa.string())
+        for name, pattern, repl in self.rules:
+            counts = pc.count_substring_regex(text, pattern)
+            text = pc.replace_substring_regex(text, pattern, repl)
+            batch = batch.append_column(f"n_redact_{name}",
+                                        pc.cast(counts, pa.int64()))
+        return batch.append_column(self.out_col, text)
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per document (the standard
+    repetition-based quality filters for web-scale corpora):
+
+    * ``top_word_frac`` — occurrences of the most frequent token / total
+      tokens,
+    * ``distinct_ratio`` — distinct tokens / total tokens,
+    * ``dup_bigram_frac`` — 1 − distinct bigrams / total bigrams
+      (0 for single-token documents).
+
+    Tokenization is a single split on one space, matching the SQL
+    oracle's ``string_split(text, ' ')``.  Fully vectorized: one
+    ``split_pattern`` kernel, one ``pandas.factorize`` over the
+    flattened tokens, then numpy segment reductions (unique + bincount
+    + reduceat) — no per-document Python."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        n = batch.num_rows
+        if n == 0:
+            for c in ("top_word_frac", "distinct_ratio", "dup_bigram_frac"):
+                batch = batch.append_column(c, pa.array([], pa.float64()))
+            return batch
+        tokens = pc.split_pattern(pc.cast(batch[self.col], pa.string()), " ")
+        n_tok = pc.list_value_length(tokens).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        parent = np.asarray(pc.list_parent_indices(tokens),
+                            dtype=np.int64)
+        codes, uniq = pd.factorize(flat)
+        k = np.int64(len(uniq))
+        # per-(doc, word) counts via one unique over composite keys
+        keys = parent * k + codes
+        ukeys, counts = np.unique(keys, return_counts=True)
+        udoc = ukeys // k
+        # distinct tokens per doc
+        n_dist = np.bincount(udoc, minlength=n).astype(np.int64)
+        # max count per doc: ukeys sorted => udoc sorted, segment-reduce
+        seg_starts = np.searchsorted(udoc, np.arange(n))
+        top_n = np.zeros(n, dtype=np.int64)
+        nonempty = n_dist > 0
+        if counts.size:
+            top_n[nonempty] = np.maximum.reduceat(
+                counts, seg_starts[nonempty])
+        # bigrams: adjacent token-code pairs within the same doc.
+        # factorize the pair code first so the (doc, pair) composite
+        # stays far from int64 range regardless of vocabulary size
+        same_doc = parent[:-1] == parent[1:] if parent.size > 1 else \
+            np.zeros(0, dtype=bool)
+        pair_raw = (codes[:-1][same_doc].astype(np.int64) * k
+                    + codes[1:][same_doc])
+        pcodes, puniq = pd.factorize(pair_raw)
+        p = np.int64(max(len(puniq), 1))
+        ubig = np.unique(parent[:-1][same_doc] * p + pcodes)
+        n_dist_big = np.bincount(ubig // p, minlength=n) \
+            if ubig.size else np.zeros(n, dtype=np.int64)
+        n_big = np.maximum(n_tok - 1, 0)
+        ft, fd = n_tok.astype(np.float64), n_dist.astype(np.float64)
+        top_word_frac = np.divide(top_n.astype(np.float64), ft,
+                                  out=np.zeros(n), where=n_tok > 0)
+        distinct_ratio = np.divide(fd, ft, out=np.zeros(n),
+                                   where=n_tok > 0)
+        dup_bigram_frac = np.where(
+            n_big > 0,
+            1.0 - np.divide(n_dist_big.astype(np.float64),
+                            n_big.astype(np.float64),
+                            out=np.zeros(n), where=n_big > 0),
+            0.0)
+        batch = batch.append_column("top_word_frac",
+                                    pa.array(top_word_frac, pa.float64()))
+        batch = batch.append_column("distinct_ratio",
+                                    pa.array(distinct_ratio, pa.float64()))
+        batch = batch.append_column("dup_bigram_frac",
+                                    pa.array(dup_bigram_frac, pa.float64()))
+        return batch
+
+
 def stable_token_hash(token: str) -> int:
     """64-bit deterministic token hash (process-independent — never use
     the salted builtin ``hash``).  Defined as the big-endian first 8 bytes

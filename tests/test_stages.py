@@ -272,3 +272,47 @@ def test_dedup_by_components_keeps_min_and_singletons(ray_session):
     kept = dedup_by_components(rd.from_arrow(docs), comp).to_pandas()
     assert sorted(kept.doc_id) == [1, 9]
     assert "component" not in kept.columns
+
+
+def test_regex_redact_rules_and_order():
+    from opencep_ray.stages.text import RegexRedact
+    t = pa.table({"text": ["mail a.b+c@mail.example.org now",
+                           "srv at 192.168.0.12 port 8080",
+                           "ids 123 45 6789", "clean text", ""]})
+    out = RegexRedact()(t).to_pandas()
+    assert list(out.text_redacted) == [
+        "mail <EMAIL> now",
+        "srv at <IP> port <NUM>",
+        "ids <NUM> 45 <NUM>", "clean text", ""]
+    assert list(out.n_redact_email) == [1, 0, 0, 0, 0]
+    assert list(out.n_redact_ipv4) == [0, 1, 0, 0, 0]
+    # the IP was consumed by the earlier ipv4 rule, so the digit rule
+    # only sees the port — rules apply sequentially by design
+    assert list(out.n_redact_digits) == [0, 1, 2, 0, 0]
+
+
+def test_repetition_stats_brute_force():
+    from collections import Counter
+
+    from opencep_ray.stages.text import RepetitionStats
+    rng = np.random.RandomState(7)
+    texts = [" ".join(rng.choice(list("abcdef"), rng.randint(1, 30)))
+             for _ in range(200)] + ["", "solo", "x x x x"]
+    out = RepetitionStats()(
+        pa.table({"text": texts})).to_pandas()
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        c = Counter(toks)
+        bigs = [toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)]
+        assert out.top_word_frac[i] == max(c.values()) / len(toks)
+        assert out.distinct_ratio[i] == len(c) / len(toks)
+        want_dbf = 0.0 if not bigs else 1.0 - len(set(bigs)) / len(bigs)
+        assert out.dup_bigram_frac[i] == want_dbf
+
+
+def test_repetition_stats_empty_batch():
+    from opencep_ray.stages.text import RepetitionStats
+    t = pa.table({"text": pa.array([], pa.string())})
+    out = RepetitionStats()(t)
+    assert out.num_rows == 0
+    assert "top_word_frac" in out.schema.names
