@@ -13,17 +13,27 @@ Pregel formulation of connected components (each node repeatedly adopts
 the minimum label among itself and its neighbors; labels converge to the
 component-minimum node id in O(component diameter) rounds).
 
-Scale shape (100 TB): every round is (1) one hash JOIN attaching each
-node's current label to its outgoing edges — ``Dataset.join``, Ray's
-hash-shuffle exchange — and (2) one vectorized ``groupby(node).min``
-over the message stream.  Both operate on the CANDIDATE GRAPH only
-(pairs that survived banding + the hot-bucket cap), which is orders of
-magnitude smaller than the corpus; the per-round label table is one row
-per node that appears in any pair.  Round count is bounded by the
-diameter of the largest near-dup cluster — small under the bucket cap —
-and ``max_rounds`` guards degenerate graphs with a loud log.  The label
-table is materialized once per round (it is the loop-carried state; at
-one row per candidate node this is the small side by construction).
+Scale shape (100 TB): the candidate graph is orders of magnitude
+smaller than the corpus (only pairs that survived banding + the
+hot-bucket cap), so it is materialized ONCE into the object store and
+then closed in one of two ways:
+
+* **small graph** (``<= local_edge_threshold`` edges, the common case —
+  default 10M edges ≈ 160 MB): ONE Ray task runs vectorized min-label
+  propagation with pointer jumping over numpy arrays.  No per-round
+  shuffles, converges in O(log diameter) in-memory sweeps.
+* **giant graph** (loudly logged): iterative distributed rounds — each
+  round is (1) one hash JOIN attaching each node's current label to its
+  outgoing edges (``Dataset.join``, Ray's hash-shuffle exchange) and
+  (2) one vectorized ``groupby(node).min`` over the message stream.
+  Round count is bounded by the diameter of the largest near-dup
+  cluster — small under the bucket cap — and ``max_rounds`` guards
+  degenerate graphs with a loud log.  The label table is materialized
+  once per round (loop-carried state, one row per candidate node).
+
+Without the one-time edge materialization every distributed round would
+re-execute the whole upstream candidate pipeline (Ray Datasets are
+lazy); with it, rounds touch only the (small) graph.
 
 Convergence detection is shuffle-free on top of the round itself: the
 self-message carries the node's previous label in a separate column, so
@@ -72,25 +82,97 @@ def _drop_empty_blocks(ds: Dataset) -> Dataset:
     return rd.from_arrow_refs(refs)
 
 
+def _local_min_label(*tables: pa.Table) -> pa.Table:
+    """Single-task kernel: min-label propagation with pointer jumping
+    over the whole edge list, vectorized in numpy.  Yields the same
+    labels as the distributed loop (component = min node id) — used
+    interchangeably below the size threshold."""
+    import numpy as np
+
+    tbl = pa.concat_tables([t.select(["u", "v"]) for t in tables])
+    u = tbl["u"].to_numpy(zero_copy_only=False)
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label
+        nxt = label.copy()
+        # adopt the min label across each edge, both directions
+        np.minimum.at(nxt, ui, label[vi])
+        np.minimum.at(nxt, vi, label[ui])
+        # pointer jumping: chase labels to their root (halves depth
+        # per sweep, so convergence is O(log diameter) sweeps)
+        while True:
+            hop = nxt[nxt]
+            if np.array_equal(hop, nxt):
+                break
+            nxt = hop
+        label = nxt
+        if np.array_equal(label, prev):
+            break
+    # labels are indices into the sorted unique-node array, so min
+    # index == min node id (numeric or lexicographic alike)
+    return pa.table({"node": pa.array(nodes),
+                     "component": pa.array(nodes[label])})
+
+
 def connected_components(edges: Dataset, src: str = "id_a",
                          dst: str = "id_b", num_partitions: int = 16,
-                         max_rounds: int = 25) -> Dataset:
+                         max_rounds: int = 25,
+                         local_edge_threshold: int = 10_000_000) -> Dataset:
     """Labels every node of the undirected pair graph with its
     component id (the minimum node id in the component).
 
     Returns a Dataset with columns ``node, component`` — one row per
     node that appears in ``edges``; singleton documents (no candidate
     pair) are by definition their own component and are not emitted.
+
+    ``local_edge_threshold``: edge count at or below which the closure
+    runs as ONE Ray task (vectorized union-find) instead of iterative
+    distributed rounds.  Set to 0 to force the distributed path.
     """
+    import ray
     import ray.data as rd
+
+    # Materialize the (small-by-construction) candidate graph once:
+    # every downstream consumer — the local task or each distributed
+    # round — reads these blocks instead of re-running the upstream
+    # candidate pipeline.
+    edges_mat = edges.select_columns([src, dst]).materialize()
+    n_edges = edges_mat.count()
+
+    if n_edges <= local_edge_threshold:
+        refs = [ref for bundle in edges_mat.iter_internal_ref_bundles()
+                for ref, meta in bundle.blocks if meta.num_rows]
+        if not refs:
+            sch = edges.schema()
+            node_type = (dict(zip(sch.names, sch.types)).get(src)
+                         if sch is not None else None) or pa.int64()
+            return rd.from_arrow(_empty_components(node_type))
+
+        def rename(t) -> pa.Table:
+            if not isinstance(t, pa.Table):
+                t = pa.Table.from_pandas(t)
+            return pa.table({"u": t[src], "v": t[dst]})
+
+        kernel = ray.remote(num_returns=1)(
+            lambda *ts: _local_min_label(*[rename(t) for t in ts]))
+        return rd.from_arrow_refs([kernel.remote(*refs)])
+
+    logger.warning(
+        "connected_components: %d edges > local_edge_threshold=%d — "
+        "falling back to iterative distributed label propagation "
+        "(up to %d join+groupby rounds)", n_edges, local_edge_threshold,
+        max_rounds)
 
     def bidir(batch: pa.Table) -> pa.Table:
         a, b = batch[src], batch[dst]
         return pa.concat_tables([pa.table({"u": a, "v": b}),
                                  pa.table({"u": b, "v": a})])
 
-    edges_bidir = edges.select_columns([src, dst]) \
-        .map_batches(bidir, batch_format="pyarrow")
+    edges_bidir = edges_mat.map_batches(bidir, batch_format="pyarrow") \
+        .materialize()
 
     # initial labels: one row per node, label = node id
     labels = _drop_empty_blocks(

@@ -242,10 +242,49 @@ def test_connected_components_chain_and_islands(ray_session):
     # island 10-11, plus an out-of-order edge (7,5)
     edges = pa.table({"id_a": pa.array([1, 2, 3, 10, 7], pa.int64()),
                       "id_b": pa.array([2, 3, 4, 11, 5], pa.int64())})
-    comp = connected_components(rd.from_arrow(edges), num_partitions=2) \
-        .to_pandas()
-    got = dict(zip(comp.node, comp.component))
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+    # local single-task path (default) and the distributed join+groupby
+    # path (forced via threshold 0) must agree exactly
+    for threshold in (10_000_000, 0):
+        comp = connected_components(rd.from_arrow(edges), num_partitions=2,
+                                    local_edge_threshold=threshold) \
+            .to_pandas()
+        got = dict(zip(comp.node, comp.component))
+        assert got == want, f"threshold={threshold}"
+
+
+def test_connected_components_string_ids(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.cc import connected_components
+
+    edges = pa.table({"id_a": ["b", "c", "x"], "id_b": ["a", "b", "y"]})
+    for threshold in (10_000_000, 0):
+        comp = connected_components(rd.from_arrow(edges),
+                                    local_edge_threshold=threshold) \
+            .to_pandas()
+        got = dict(zip(comp.node, comp.component))
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}, \
+            f"threshold={threshold}"
+
+
+def test_connected_components_local_matches_distributed_random(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from opencep_ray.stages.cc import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 400, 600)
+    b = rng.integers(0, 400, 600)
+    edges = pa.table({"id_a": pa.array(a, pa.int64()),
+                      "id_b": pa.array(b, pa.int64())})
+    out = []
+    for threshold in (10_000_000, 0):
+        comp = connected_components(rd.from_arrow(edges), num_partitions=4,
+                                    local_edge_threshold=threshold,
+                                    max_rounds=50) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        out.append(comp)
+    assert out[0].equals(out[1])
 
 
 def test_connected_components_empty(ray_session):
