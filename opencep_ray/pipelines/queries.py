@@ -741,6 +741,33 @@ FROM documents
 """
 
 
+def text_tokens(sf_dir):
+    """Whitespace + BPE-style pre-tokenizer token counts per document
+    (:class:`opencep_ray.stages.text.BPETokenCount`): the unit a
+    training-data pipeline budgets by.  Both sides count the identical
+    RE2 pattern, so the counts — and the density doubles computed from
+    them — hash-match exactly."""
+    from ..stages.text import BPETokenCount
+    ds = _documents(sf_dir).map_batches(BPETokenCount(),
+                                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens",
+                              "bpe_per_100_chars"])
+
+
+TEXT_TOKENS_SQL = r"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+      AS n_bpe_tokens,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+      ::DOUBLE * 100.0 / length(text) END AS bpe_per_100_chars
+FROM documents
+"""
+
+
 def text_quality(sf_dir):
     from ..stages.text import QualityScore
     ds = _documents(sf_dir).map_batches(QualityScore(),
@@ -1537,6 +1564,7 @@ QUERIES = {
     "curate_documents": curate_documents,
     "curate_near_dup": curate_near_dup,
     "text_stats": text_stats_q,
+    "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1584,6 +1612,7 @@ ORACLES = {
     "curate_documents": CURATE_DOCUMENTS_SQL,
     "curate_near_dup": CURATE_NEAR_DUP_SQL,
     "text_stats": TEXT_STATS_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -6,6 +6,8 @@ callable classes so actor pools amortize setup (``__init__`` once per
 actor).
 
 * :func:`text_stats` — char/token counts (SQL-parity definitions),
+* :class:`BPETokenCount` — whitespace + GPT-2-style pre-tokenizer
+  token counts (RE2-identical on both engines),
 * :class:`QualityScore` — deterministic quality heuristics
   (stopword ratio, digit ratio, length), SQL-expressible,
 * :class:`LangId` — n-gram/stopword language heuristic (en/de/fr/es/zh),
@@ -79,6 +81,40 @@ class QualityScore:
         # tree over identical operands, giving bit-identical doubles
         return batch.append_column("quality_score",
                                    pa.array(score, pa.float64()))
+
+
+class BPETokenCount:
+    """BPE-style token counting: whitespace tokens plus a GPT-2-style
+    pre-tokenizer count (contraction suffixes / letter runs / digit runs
+    / punctuation runs / whitespace runs), simplified to ASCII classes
+    and no lookahead so the RE2 engines of pyarrow and DuckDB match it
+    identically — the SQL oracle counts the same regex with
+    ``regexp_extract_all``.  Adds ``n_ws_tokens``, ``n_bpe_tokens`` and
+    ``bpe_per_100_chars`` (token density; 0 for empty text).  Stateless
+    Arrow kernels, but shaped as a callable class so actor pools reuse
+    RE2's compiled-pattern cache across batches."""
+
+    PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^A-Za-z0-9\s]+|\s+")
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[self.col], pa.string()), "")
+        n_ws = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
+                       pa.int64())
+        n_bpe = pc.cast(pc.count_substring_regex(text, self.PATTERN),
+                        pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text),
+                          pa.float64()).to_numpy(zero_copy_only=False)
+        bpe = pc.cast(n_bpe, pa.float64()).to_numpy(zero_copy_only=False)
+        density = np.divide(bpe * 100.0, n_chars,
+                            out=np.zeros_like(bpe), where=n_chars > 0)
+        batch = batch.append_column("n_ws_tokens", n_ws)
+        batch = batch.append_column("n_bpe_tokens", n_bpe)
+        return batch.append_column("bpe_per_100_chars",
+                                   pa.array(density, pa.float64()))
 
 
 _LANG_MARKERS = {

@@ -313,6 +313,35 @@ def test_dedup_by_components_keeps_min_and_singletons(ray_session):
     assert "component" not in kept.columns
 
 
+def test_bpe_token_count_hand_values():
+    from opencep_ray.stages.text import BPETokenCount
+    t = pa.table({"text": ["I'll say it's fine",  # I|'ll| say| it|'s| fine
+                           "abc123!?",            # abc|123|!?
+                           "",                    # empty: 0 tokens
+                           "  x  "]})             # '  '|x|'  '  (ws runs)
+    out = BPETokenCount()(t)
+    assert out["n_bpe_tokens"].to_pylist() == [6, 3, 0, 3]
+    assert out["n_ws_tokens"].to_pylist() == [4, 1, 1, 5]
+    dens = out["bpe_per_100_chars"].to_pylist()
+    assert dens[2] == 0.0 and abs(dens[0] - 6 * 100.0 / 18) < 1e-12
+
+
+def test_bpe_token_count_matches_duckdb():
+    import duckdb
+    from opencep_ray.stages.text import BPETokenCount
+    texts = ["Hello, world! It's 2026-08-17.", "don't   stop", "a'b'c",
+             "ünïcode stays punct-run: ü!", "'s alone", "tab\tand\nnewline"]
+    t = pa.table({"text": texts})
+    out = BPETokenCount()(t)
+    got = out["n_bpe_tokens"].to_pylist()
+    want = duckdb.sql(
+        r"""SELECT len(regexp_extract_all(t,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+            FROM (SELECT unnest($1) AS t)""",
+        params=[texts]).fetchall()
+    assert got == [r[0] for r in want]
+
+
 def test_regex_redact_rules_and_order():
     from opencep_ray.stages.text import RegexRedact
     t = pa.table({"text": ["mail a.b+c@mail.example.org now",
