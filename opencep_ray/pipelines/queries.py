@@ -768,6 +768,79 @@ FROM documents
 """
 
 
+PACK_SHARD_CHARS = 20_000
+
+
+def pack_shards(sf_dir):
+    """Token-budget shard packing — the step that turns a curated corpus
+    into bounded training shards: documents are laid out in (source,
+    doc_id) order and each starts a new shard once the running character
+    budget crosses ``PACK_SHARD_CHARS``.  A partitioned running sum, i.e.
+    a window function Ray Data lacks; computed by the two-pass
+    distributed prefix scan in
+    :func:`opencep_ray.stages.window_fn.partitioned_cumsum` (one sort +
+    two streaming passes, O(#blocks) driver state)."""
+    import pyarrow.compute as _pc
+    from ..stages.window_fn import partitioned_cumsum
+    docs = _documents(sf_dir, columns=("doc_id", "source", "n_chars"))
+    ds = partitioned_cumsum(docs, key="source", order=["doc_id"],
+                            val="n_chars", out_col="chars_before",
+                            exclusive=True)
+
+    def shard(batch):
+        sid = _pc.cast(_pc.floor(_pc.divide(
+            _pc.cast(batch["chars_before"], pa.float64()),
+            float(PACK_SHARD_CHARS))), pa.int64())
+        return batch.append_column("shard_id", sid)
+
+    return ds.map_batches(shard, batch_format="pyarrow") \
+        .select_columns(["doc_id", "source", "shard_id"])
+
+
+PACK_SHARDS_SQL = f"""
+SELECT doc_id, source,
+  CAST(floor(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       / {PACK_SHARD_CHARS}.0) AS BIGINT) AS shard_id
+FROM documents
+"""
+
+
+def event_gaps(sf_dir):
+    """Inter-event gap per user (µs) — ``lag() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)``, NULL for each user's first event.
+    Same two-pass scan machinery
+    (:func:`opencep_ray.stages.window_fn.partitioned_lag`)."""
+    import pyarrow.compute as _pc
+    from ..sources import read_parquet_clean
+    from ..stages.window_fn import partitioned_lag
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=("event_id", "user_id", "ts"))
+
+    def us(batch):
+        return batch.append_column(
+            "ts_us", _pc.cast(batch["ts"], pa.int64()))
+
+    ds = partitioned_lag(ev.map_batches(us, batch_format="pyarrow"),
+                         key="user_id", order=["ts_us", "event_id"],
+                         val="ts_us", out_col="prev_ts_us")
+
+    def gap(batch):
+        return batch.append_column(
+            "gap_us", _pc.subtract(batch["ts_us"], batch["prev_ts_us"]))
+
+    return ds.map_batches(gap, batch_format="pyarrow") \
+        .select_columns(["event_id", "user_id", "gap_us"])
+
+
+EVENT_GAPS_SQL = """
+SELECT event_id, user_id,
+  epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+FROM events
+"""
+
+
 def text_quality(sf_dir):
     from ..stages.text import QualityScore
     ds = _documents(sf_dir).map_batches(QualityScore(),
@@ -1565,6 +1638,8 @@ QUERIES = {
     "curate_near_dup": curate_near_dup,
     "text_stats": text_stats_q,
     "text_tokens": text_tokens,
+    "pack_shards": pack_shards,
+    "event_gaps": event_gaps,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1613,6 +1688,8 @@ ORACLES = {
     "curate_near_dup": CURATE_NEAR_DUP_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
+    "pack_shards": PACK_SHARDS_SQL,
+    "event_gaps": EVENT_GAPS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

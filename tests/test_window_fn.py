@@ -1,0 +1,125 @@
+"""Window-function (ordered analytics) tests: the two-pass prefix scan
+must reproduce SQL window semantics exactly, including keys that span
+several block boundaries."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _fold_carries(infos):
+    # mirrors the driver fold in partitioned_cumsum
+    carries = []
+    carry_key, carry_val = None, 0
+    for fk, lk, first_total, last_total in infos:
+        c = carry_val if (carry_key is not None and fk == carry_key) else 0
+        carries.append((fk, c))
+        if fk == lk:
+            carry_key, carry_val = lk, c + last_total
+        else:
+            carry_key, carry_val = lk, last_total
+    return carries
+
+
+def test_cumsum_kernels_key_spanning_three_blocks():
+    from opencep_ray.stages.window_fn import (_apply_cumsum,
+                                              _boundary_summary)
+    # key "b" spans blocks 0-2 entirely filling block 1
+    blocks = [pa.table({"k": ["a", "b"], "v": [5, 1]}),
+              pa.table({"k": ["b", "b"], "v": [2, 3]}),
+              pa.table({"k": ["b", "c"], "v": [4, 7]})]
+    infos = [_boundary_summary(b, "k", "v") for b in blocks]
+    carries = _fold_carries(infos)
+    assert carries == [("a", 0), ("b", 1), ("b", 6)]
+    out = pa.concat_tables(
+        [_apply_cumsum(b, "k", "v", "cs", bk, cv, False)
+         for b, (bk, cv) in zip(blocks, carries)])
+    assert out["cs"].to_pylist() == [5, 1, 3, 6, 10, 7]
+    out_ex = pa.concat_tables(
+        [_apply_cumsum(b, "k", "v", "cs", bk, cv, True)
+         for b, (bk, cv) in zip(blocks, carries)])
+    assert out_ex["cs"].to_pylist() == [0, 0, 1, 3, 6, 0]
+
+
+def test_lag_kernels_across_blocks():
+    from opencep_ray.stages.window_fn import (_apply_lag,
+                                              _boundary_last_row)
+    blocks = [pa.table({"k": ["a", "b"], "v": [10, 20]}),
+              pa.table({"k": ["b", "c"], "v": [30, 40]}),
+              pa.table({"k": ["d"], "v": [50]})]
+    infos = [_boundary_last_row(b, "k", "v") for b in blocks]
+    prevs = [(None, None)] + [(lk, lv) for _, lk, lv in infos[:-1]]
+    out = pa.concat_tables(
+        [_apply_lag(b, "k", "v", "lag", pk, pv)
+         for b, (pk, pv) in zip(blocks, prevs)])
+    assert out["lag"].to_pylist() == [None, None, 20, None, None]
+
+
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_partitioned_cumsum_matches_pandas(ray_session, exclusive):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import partitioned_cumsum
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n).astype(str),
+        "o": rng.permutation(n),
+        "v": rng.integers(0, 100, n),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    got = partitioned_cumsum(ds, key="k", order=["o"], val="v",
+                             out_col="cs", exclusive=exclusive) \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    cs = want.groupby("k")["v"].cumsum()
+    if exclusive:
+        cs = cs - want["v"]
+    assert (got["cs"].values == cs.values).all()
+
+
+def test_partitioned_lag_matches_pandas(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import partitioned_lag
+
+    rng = np.random.default_rng(4)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n).astype(str),
+        "o": rng.permutation(n),
+        "v": rng.integers(0, 1000, n),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    got = partitioned_lag(ds, key="k", order=["o"], val="v",
+                          out_col="lag") \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    lag = want.groupby("k")["v"].shift(1)
+    gm = got["lag"].astype("float64")
+    assert ((gm.isna() == lag.isna()).all()
+            and (gm.dropna().values == lag.dropna().values).all())
+
+
+def test_pack_shards_and_event_gaps_oracle(ray_session, tmp_path):
+    """End-to-end oracle parity for the two window-function queries at
+    sf0.001 (the full driver comparison runs at sf0.01)."""
+    import duckdb
+
+    from opencep_ray.pipelines.queries import (EVENT_GAPS_SQL,
+                                               PACK_SHARDS_SQL,
+                                               event_gaps, pack_shards)
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    for fn, sql in ((pack_shards, PACK_SHARDS_SQL),
+                    (event_gaps, EVENT_GAPS_SQL)):
+        got = fn(sf).to_pandas()
+        want = con.execute(sql).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.astype(str).equals(b.astype(str)), fn.__name__
