@@ -203,6 +203,27 @@ def measure_host_steal(seconds: float = 2.0) -> float:
     return round(100 * d[7] / max(sum(d), 1), 2)
 
 
+def measure_spin_mips(seconds: float = 0.5) -> float:
+    """Achieved single-core work rate (million pure-Python loop
+    iterations / sec) — the complementary contamination probe to
+    :func:`measure_host_steal`.  On this Firecracker VM the /proc/stat
+    steal field reads ~0 even while identical evaluator work dilates
+    2–10× (host-level memory/CPU contention is invisible to guest steal
+    accounting), so a run is judged clean by ACHIEVED work, not reported
+    steal.  Observed ~52–62 Mips on this box even during dilated
+    windows (pure-ALU loops dilate far less than the memory-bound
+    evaluator); the authoritative dilation probe is therefore
+    ``cep_stream_worker_busy_sec`` — clean ≈ 24–26 s for the standard
+    600 k-turn bench input (BASELINE.md §4)."""
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        for _ in range(100_000):
+            pass
+        n += 100_000
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
 def run_bench() -> dict:
     import ray
     # size the object store to Ray Data's recommended 50% of memory
@@ -240,7 +261,9 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow").count()
 
     steal = measure_host_steal()
-    print(f"host steal under load: {steal}%", file=sys.stderr)
+    mips = measure_spin_mips()
+    print(f"host steal under load: {steal}%; spin {mips} Mips",
+          file=sys.stderr)
 
     times, rows = {}, {}
     selected = {k: v for k, v in BENCH_QUERIES.items()
@@ -264,6 +287,11 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "host_steal_pct": steal,
+        "spin_mips": mips,
+        "spin_mips_post": measure_spin_mips(),
+        "cep_stream_worker_busy_sec": (
+            round(LAST_STREAM_STATS["worker_busy_sec"], 2)
+            if LAST_STREAM_STATS else None),
         "transcript_rows": sum(
             pq.read_metadata(f).num_rows for f in
             __import__("glob").glob(f"{BENCH_TRANSCRIPTS}/*.parquet")),
