@@ -841,6 +841,80 @@ FROM events
 """
 
 
+def turn_renumber(sf_dir):
+    """Stable turn re-sequencing: ``row_number() OVER (PARTITION BY
+    conv_id ORDER BY ts, turn_idx)`` over the canonical transcripts
+    table — the materialized form of the engine's per-turn stable
+    ordering contract (ties on ts break by turn_idx).  Same two-pass
+    prefix-scan machinery
+    (:func:`opencep_ray.stages.window_fn.partitioned_row_number`)."""
+    import pyarrow.compute as _pc
+    from ..stages.window_fn import partitioned_row_number
+    t = _transcripts_ds(columns=("conv_id", "turn_idx", "ts"))
+
+    def us(batch):
+        return batch.append_column(
+            "ts_us", _pc.cast(batch["ts"], pa.int64()))
+
+    ds = partitioned_row_number(t.map_batches(us, batch_format="pyarrow"),
+                                key="conv_id",
+                                order=["ts_us", "turn_idx"],
+                                out_col="turn_seq")
+    return ds.select_columns(["conv_id", "turn_idx", "turn_seq"])
+
+
+TURN_RENUMBER_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}'))
+SELECT conv_id, turn_idx,
+  row_number() OVER (PARTITION BY conv_id
+                     ORDER BY epoch_us(ts), turn_idx) AS turn_seq
+FROM t
+"""
+
+
+def top_docs_per_source(sf_dir):
+    """Top-3 documents per source by length (doc_id ascending as the
+    deterministic tie-break): local per-block top-k prune, one bounded
+    exchange (:func:`opencep_ray.stages.window_fn.grouped_topk`)."""
+    from ..stages.window_fn import grouped_topk
+    docs = _documents(sf_dir, columns=("doc_id", "source", "n_chars"))
+    return grouped_topk(docs, key="source", val="n_chars", k=3,
+                        tiebreak=("doc_id",))
+
+
+TOP_DOCS_PER_SOURCE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
+def vocab_df(sf_dir):
+    """Top-50 vocabulary tokens by document frequency (ties broken by
+    token) — the IDF building block: per-batch (doc, token) dedup
+    partials (:class:`opencep_ray.stages.text.TokenDocFreq`), one tiny
+    ``groupby(token).sum`` over |vocabulary| rows, deterministic global
+    top-k."""
+    from ray.data.aggregate import Sum
+    from ..stages.text import TokenDocFreq
+    counts = (_documents(sf_dir)
+              .map_batches(TokenDocFreq(), batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+    return counts.sort(["df", "token"], descending=[True, False]) \
+        .limit(50)
+
+
+VOCAB_DF_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents)
+SELECT token, count(*) AS df FROM tok GROUP BY token
+ORDER BY df DESC, token LIMIT 50
+"""
+
+
 def text_quality(sf_dir):
     from ..stages.text import QualityScore
     ds = _documents(sf_dir).map_batches(QualityScore(),
@@ -1640,6 +1714,9 @@ QUERIES = {
     "text_tokens": text_tokens,
     "pack_shards": pack_shards,
     "event_gaps": event_gaps,
+    "turn_renumber": turn_renumber,
+    "top_docs_per_source": top_docs_per_source,
+    "vocab_df": vocab_df,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1690,6 +1767,9 @@ ORACLES = {
     "text_tokens": TEXT_TOKENS_SQL,
     "pack_shards": PACK_SHARDS_SQL,
     "event_gaps": EVENT_GAPS_SQL,
+    "turn_renumber": TURN_RENUMBER_SQL,
+    "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
+    "vocab_df": VOCAB_DF_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

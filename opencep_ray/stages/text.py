@@ -117,6 +117,35 @@ class BPETokenCount:
                                    pa.array(density, pa.float64()))
 
 
+class TokenDocFreq:
+    """Document-frequency partials — the IDF / vocabulary-statistics
+    building block.  Per batch: lowercase, split on single space (the
+    SQL-parity tokenization), dedup (doc, token) pairs, count docs per
+    token.  Each document lives in exactly one row, so per-batch dedup
+    is globally exact; the partials then need only a tiny
+    ``groupby(token).sum`` — the classic combiner shape (partials are
+    |batch vocabulary| rows, not |tokens|).  Vectorized polars
+    explode/unique/group_by; no per-document Python."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select([self.id_col, self.col]))
+        toks = (df.with_columns(
+            pl.col(self.col).cast(pl.String).fill_null("")
+            .str.to_lowercase().str.split(" ").alias("_t"))
+            .select(self.id_col, "_t").explode("_t"))
+        part = (toks.unique()
+                .group_by("_t").agg(pl.len().alias("df_part"))
+                .rename({"_t": "token"}))
+        out = part.to_arrow()
+        return pa.table({"token": pc.cast(out["token"], pa.string()),
+                         "df_part": pc.cast(out["df_part"], pa.int64())})
+
+
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "with", "for"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",

@@ -133,6 +133,53 @@ def partitioned_cumsum(ds: Dataset, key: str, order: Sequence[str],
     return rd.from_arrow_refs(out)
 
 
+def partitioned_row_number(ds: Dataset, key: str, order: Sequence[str],
+                           out_col: str = "row_number") -> Dataset:
+    """``row_number() OVER (PARTITION BY key ORDER BY order)`` (1-based)
+    — the running count is a partitioned cumsum of ones, so it reuses
+    the same two-pass scan."""
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("__one",
+                               pa.array(np.ones(t.num_rows, np.int64)))
+
+    out = partitioned_cumsum(ds.map_batches(ones, batch_format="pyarrow"),
+                             key, order, "__one", out_col,
+                             exclusive=False)
+    return out.map_batches(lambda t: t.drop_columns(["__one"]),
+                           batch_format="pyarrow")
+
+
+def grouped_topk(ds: Dataset, key: str, val: str, k: int,
+                 tiebreak: Sequence[str] = (),
+                 descending: bool = True) -> Dataset:
+    """Top-``k`` rows per key by ``val`` (ties broken by ``tiebreak``
+    columns ascending — pass enough columns for a total order, or the
+    result is nondeterministic).
+
+    Scale shape: a local per-block top-k prune (vectorized polars
+    sort + group head) bounds what enters the exchange to ≤ k rows per
+    key per block, then one ``groupby(key).map_groups`` finishes — the
+    shuffle moves O(k · keys · blocks) rows, not the corpus.  The SQL
+    equivalent is ``row_number() OVER (PARTITION BY key ORDER BY val
+    DESC, tiebreak) <= k``."""
+    import polars as pl
+
+    order_cols = [val, *tiebreak]
+    desc = [descending] + [False] * len(tiebreak)
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = pl.from_arrow(batch)
+        out = (df.sort(order_cols, descending=desc)
+               .group_by(key, maintain_order=True).head(k))
+        return out.to_arrow().select(batch.column_names) \
+            .cast(batch.schema)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    return pruned.groupby(key).map_groups(local, batch_format="pyarrow")
+
+
 def _boundary_last_row(block, key: str, val: str):
     t = _as_arrow(block)
     k = _key_array(t, key)

@@ -342,6 +342,20 @@ def test_bpe_token_count_matches_duckdb():
     assert got == [r[0] for r in want]
 
 
+def test_token_doc_freq_partials_and_merge():
+    from opencep_ray.stages.text import TokenDocFreq
+    t1 = pa.table({"doc_id": [1, 2], "text": ["a b a", "b c"]})
+    t2 = pa.table({"doc_id": [3], "text": ["a a a"]})
+    stage = TokenDocFreq()
+    merged = {}
+    for part in (stage(t1), stage(t2)):
+        for tok, n in zip(part["token"].to_pylist(),
+                          part["df_part"].to_pylist()):
+            merged[tok] = merged.get(tok, 0) + n
+    # df counts DOCUMENTS containing the token, not occurrences
+    assert merged == {"a": 2, "b": 2, "c": 1}
+
+
 def test_regex_redact_rules_and_order():
     from opencep_ray.stages.text import RegexRedact
     t = pa.table({"text": ["mail a.b+c@mail.example.org now",

@@ -101,6 +101,41 @@ def test_partitioned_lag_matches_pandas(ray_session):
             and (gm.dropna().values == lag.dropna().values).all())
 
 
+def test_partitioned_row_number_matches_pandas(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import partitioned_row_number
+
+    rng = np.random.default_rng(9)
+    n = 800
+    df = pd.DataFrame({"k": rng.integers(0, 6, n).astype(str),
+                       "o": rng.permutation(n)})
+    ds = rd.from_pandas(df).repartition(5)
+    got = partitioned_row_number(ds, key="k", order=["o"], out_col="rn") \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    rn = want.groupby("k").cumcount() + 1
+    assert (got["rn"].values == rn.values).all()
+    assert "__one" not in got.columns
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    df = pd.DataFrame({"k": rng.integers(0, 8, n).astype(str),
+                       "id": np.arange(n),
+                       "v": rng.integers(0, 50, n)})  # many ties
+    ds = rd.from_pandas(df).repartition(7)
+    got = grouped_topk(ds, key="k", val="v", k=3, tiebreak=("id",)) \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    want = (df.sort_values(["v", "id"], ascending=[False, True])
+            .groupby("k").head(3)
+            .sort_values(["k", "id"]).reset_index(drop=True))
+    assert got[["k", "id", "v"]].equals(want[["k", "id", "v"]])
+
+
 def test_pack_shards_and_event_gaps_oracle(ray_session, tmp_path):
     """End-to-end oracle parity for the two window-function queries at
     sf0.001 (the full driver comparison runs at sf0.01)."""
