@@ -806,6 +806,41 @@ FROM documents
 """
 
 
+def pack_shards_greedy(sf_dir):
+    """First-fit shard packing — the writer-side contract: a shard
+    takes documents (in doc_id order within source) while the running
+    character total stays within the budget; an overflow starts a new
+    shard.  Sequential per key, so it runs as one exchange +
+    per-key vectorized packing
+    (:func:`opencep_ray.stages.pack.greedy_pack`); the oracle replays
+    the identical recurrence as a recursive CTE."""
+    from ..stages.pack import greedy_pack
+    docs = _documents(sf_dir, columns=("doc_id", "source", "n_chars"))
+    out = greedy_pack(docs, key="source", order="doc_id", size="n_chars",
+                      budget=PACK_SHARD_CHARS)
+    return out.select_columns(["doc_id", "source", "shard_id"])
+
+
+PACK_SHARDS_GREEDY_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT source, doc_id, rn,
+         0::BIGINT AS shard_id, n_chars::BIGINT AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.rn,
+         CASE WHEN rec.fill + d.n_chars <= {PACK_SHARD_CHARS}
+              THEN rec.shard_id ELSE rec.shard_id + 1 END,
+         CASE WHEN rec.fill + d.n_chars <= {PACK_SHARD_CHARS}
+              THEN rec.fill + d.n_chars ELSE d.n_chars::BIGINT END
+  FROM rec JOIN d ON d.source = rec.source AND d.rn = rec.rn + 1)
+SELECT doc_id, source, shard_id FROM rec
+"""
+
+
 def event_gaps(sf_dir):
     """Inter-event gap per user (µs) — ``lag() OVER (PARTITION BY
     user_id ORDER BY ts, event_id)``, NULL for each user's first event.
@@ -1713,6 +1748,7 @@ QUERIES = {
     "text_stats": text_stats_q,
     "text_tokens": text_tokens,
     "pack_shards": pack_shards,
+    "pack_shards_greedy": pack_shards_greedy,
     "event_gaps": event_gaps,
     "turn_renumber": turn_renumber,
     "top_docs_per_source": top_docs_per_source,
@@ -1766,6 +1802,7 @@ ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "pack_shards": PACK_SHARDS_SQL,
+    "pack_shards_greedy": PACK_SHARDS_GREEDY_SQL,
     "event_gaps": EVENT_GAPS_SQL,
     "turn_renumber": TURN_RENUMBER_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,

@@ -158,3 +158,48 @@ def test_pack_shards_and_event_gaps_oracle(ray_session, tmp_path):
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         assert a.astype(str).equals(b.astype(str)), fn.__name__
+
+
+def test_greedy_bounds_kernel():
+    from opencep_ray.stages.pack import _greedy_bounds
+
+    # budget 10: [4,5] fit (9), 3 overflows -> new shard; 12 oversized
+    sizes = np.array([4, 5, 3, 12, 2])
+    got = _greedy_bounds(np.cumsum(sizes), 10)
+    assert got.tolist() == [0, 0, 1, 2, 3]
+    # exact fit stays in shard
+    got = _greedy_bounds(np.cumsum([5, 5, 1]), 10)
+    assert got.tolist() == [0, 0, 1]
+    # leading oversized document
+    got = _greedy_bounds(np.cumsum([30, 1, 1]), 10)
+    assert got.tolist() == [0, 1, 1]
+
+
+def test_greedy_pack_matches_sequential(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.pack import greedy_pack
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({"k": rng.integers(0, 4, n).astype(str),
+                       "o": rng.permutation(n),
+                       "sz": rng.integers(1, 40, n)})
+    got = greedy_pack(rd.from_pandas(df).repartition(5), key="k",
+                      order="o", size="sz", budget=100) \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+
+    def seq_pack(g):
+        fill, sid, out = 0, 0, []
+        for s in g.sort_values("o")["sz"]:
+            if fill and fill + s > 100:
+                sid += 1
+                fill = 0
+            fill += s
+            out.append(sid)
+        g = g.sort_values("o").copy()
+        g["shard_id"] = out
+        return g
+
+    want = pd.concat([seq_pack(g) for _, g in df.groupby("k")]) \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    assert (got["shard_id"].values == want["shard_id"].values).all()
