@@ -957,16 +957,63 @@ def text_quality(sf_dir):
     return ds.select_columns(["doc_id", "quality_score"])
 
 
-TEXT_QUALITY_SQL = """
-SELECT doc_id,
+_QUALITY_EXPR_SQL = """
   0.5 * (len(list_filter(string_split(lower(text), ' '),
              x -> x IN ('the','a','of','to','and','in','is','it','on','for')))
          ::DOUBLE / len(string_split(text, ' ')))
   + 0.3 * (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
                / length(text))
   + 0.2 * least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
-  AS quality_score
+"""
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality_score
 FROM documents
+"""
+
+
+def filter_quality_quantile(sf_dir):
+    """Per-language quality-floor filter — drop each language's bottom
+    quartile: quality scores bucketed by ``floor(score·100)`` (floor is
+    bit-identical across engines, unlike round), per-lang exact p25 of
+    the bucket via the partial-count merge
+    (:func:`opencep_ray.stages.sketch.grouped_quantile`), thresholds
+    broadcast as a tiny dict into a vectorized filter — the canonical
+    small-side-broadcast shape (no shuffle of the corpus)."""
+    import numpy as np
+    from ..stages.sketch import grouped_quantile
+    from ..stages.text import QualityScore
+    docs = _documents(sf_dir, columns=("doc_id", "lang", "text"))
+    scored = docs.map_batches(QualityScore(), batch_format="pyarrow")
+
+    def bucket(batch):
+        qb = pc.cast(pc.floor(pc.multiply(batch["quality_score"], 100.0)),
+                     pa.int64())
+        return batch.append_column("qb", qb) \
+            .drop_columns(["text", "quality_score"])
+
+    bucketed = scored.map_batches(bucket, batch_format="pyarrow")
+    thresholds = grouped_quantile(bucketed, key="lang", col="qb", q=0.25)
+
+    def keep(batch):
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        th = np.array([thresholds.get(l, np.iinfo(np.int64).min)
+                       for l in langs])
+        mask = batch["qb"].to_numpy(zero_copy_only=False) >= th
+        return batch.filter(pa.array(mask))
+
+    return bucketed.map_batches(keep, batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang", "qb"])
+
+
+FILTER_QUALITY_QUANTILE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(floor(({_QUALITY_EXPR_SQL}) * 100.0) AS BIGINT) AS qb
+  FROM documents),
+th AS (SELECT lang, quantile_disc(qb, 0.25) AS t FROM q GROUP BY lang)
+SELECT q.doc_id, q.lang, q.qb
+FROM q JOIN th ON q.lang = th.lang WHERE q.qb >= th.t
 """
 
 
@@ -1753,6 +1800,7 @@ QUERIES = {
     "turn_renumber": turn_renumber,
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
+    "filter_quality_quantile": filter_quality_quantile,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1807,6 +1855,7 @@ ORACLES = {
     "turn_renumber": TURN_RENUMBER_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,
+    "filter_quality_quantile": FILTER_QUALITY_QUANTILE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -65,6 +65,43 @@ def exact_quantiles(ds: Dataset, col: str,
                      "value": pa.array(out_v)})
 
 
+def grouped_quantile(ds: Dataset, key: str, col: str, q: float) -> dict:
+    """Per-key exact discrete quantile of ``col`` (same ``quantile_disc``
+    rank semantics as :func:`exact_quantiles`).  Returns a plain
+    ``{key: value}`` dict — the broadcast-ready small side for a
+    threshold filter.  Only the merged (key, value, count) table — ≤
+    |keys|·|distinct| rows — ever reaches one place; bucket continuous
+    columns first."""
+    import polars as pl
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile {q} outside [0, 1]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch.select([key, col]))
+                .group_by([key, col])
+                .agg(pl.len().cast(pl.Int64).alias("_n")).to_arrow())
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, col]).aggregate(Sum("_n", alias_name="n"))
+              .sort([key, col]).take_all())
+    out = {}
+    i = 0
+    while i < len(merged):
+        k_val = merged[i][key]
+        j = i
+        vals, counts = [], []
+        while j < len(merged) and merged[j][key] == k_val:
+            vals.append(merged[j][col])
+            counts.append(merged[j]["n"])
+            j += 1
+        cum = np.cumsum(counts)
+        rank = math.floor(q * (int(cum[-1]) - 1))
+        out[k_val] = vals[int(np.searchsorted(cum, rank, side="right"))]
+        i = j
+    return out
+
+
 def heavy_hitters(ds: Dataset, col: str, k: int = 10) -> Dataset:
     """Top-``k`` most frequent values of ``col`` (ties broken by value
     ascending, so results are deterministic)."""

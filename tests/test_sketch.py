@@ -48,3 +48,21 @@ def test_heavy_hitters_deterministic_ties(ray_session):
     # counts tie at 5: value ascending breaks the tie
     assert out.x.tolist() == [1, 2, 3]
     assert out.n.tolist() == [5, 5, 5]
+
+
+def test_grouped_quantile_matches_per_key_disc(ray_session):
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+    from opencep_ray.stages.sketch import grouped_quantile
+
+    rng = np.random.default_rng(13)
+    n = 1200
+    t = pa.table({"k": rng.integers(0, 4, n).astype(str),
+                  "v": rng.integers(0, 30, n)})
+    got = grouped_quantile(rd.from_arrow(t).repartition(6),
+                           key="k", col="v", q=0.25)
+    import duckdb
+    want = dict(duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.25) FROM t GROUP BY k").fetchall())
+    assert got == want
