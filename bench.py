@@ -260,20 +260,35 @@ def run_bench() -> dict:
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         lambda b: b, batch_format="pyarrow").count()
 
+    # fresh Ray session for the timed section: the aux-table generation
+    # above leaves worker heaps / plasma state that measurably dilates
+    # subsequent pipelines (A/B on identical code: stream 6.1 s same
+    # session vs 3.9 s after restart, worker busy 49 s vs 34 s).  The
+    # timed queries still share ONE session with each other, as before.
+    ray.shutdown()
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             object_store_memory=store_bytes, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
     steal = measure_host_steal()
     mips = measure_spin_mips()
     print(f"host steal under load: {steal}%; spin {mips} Mips",
           file=sys.stderr)
 
-    times, rows = {}, {}
+    times, rows, spin_at = {}, {}, {}
     selected = {k: v for k, v in BENCH_QUERIES.items()
                 if not ONLY or k in ONLY}
     for name, fn in selected.items():
+        spin_at[name] = measure_spin_mips(0.25)   # untimed, per-query
         t0 = time.perf_counter()
         n = fn()
         times[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
-        print(f"{name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        print(f"{name}: {times[name]}s ({n} rows, "
+              f"{spin_at[name]} Mips before)", file=sys.stderr)
         if name == "cep_stream" and LAST_STREAM_STATS is not None:
             # steady-state streaming time, actor-pool startup excluded
             times[name] = LAST_STREAM_STATS["stream_sec"]
@@ -289,6 +304,7 @@ def run_bench() -> dict:
         "host_steal_pct": steal,
         "spin_mips": mips,
         "spin_mips_post": measure_spin_mips(),
+        "spin_mips_per_query": spin_at,
         "cep_stream_worker_busy_sec": (
             round(LAST_STREAM_STATS["worker_busy_sec"], 2)
             if LAST_STREAM_STATS else None),
