@@ -372,6 +372,16 @@ def run_scaling():
         f"turns_per_sec_{hi}": round(rows / t_hi),
         "scaling_efficiency": round(eff, 3),
         "value": round(eff, 3), "unit": "efficiency",
+        # contamination evidence per level (see BASELINE.md §4): busy
+        # seconds are per-event compute on IDENTICAL work, so a busy
+        # ratio far from (hi worker count)/(lo worker count) × 1.0
+        # means the host dilated one level more than the other
+        f"busy_sec_{lo}": [r.get("cep_stream_worker_busy_sec")
+                           for r in runs_lo],
+        f"busy_sec_{hi}": [r.get("cep_stream_worker_busy_sec")
+                           for r in runs_hi],
+        f"spin_mips_{lo}": [r.get("spin_mips") for r in runs_lo],
+        f"spin_mips_{hi}": [r.get("spin_mips") for r in runs_hi],
     }))
 
 

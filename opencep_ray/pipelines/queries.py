@@ -876,6 +876,42 @@ FROM events
 """
 
 
+def rolling_value(sf_dir):
+    """7-event moving sum of (floored) value per user — ``sum() OVER
+    (... ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)`` via
+    :func:`opencep_ray.stages.window_fn.partitioned_rolling_sum`; the
+    cross-block state is each boundary key's trailing ≤ 6 values.
+    Values floored to int64 so the windowed sums are bit-exact on both
+    engines (float window sums are association-sensitive)."""
+    import pyarrow.compute as _pc
+    from ..sources import read_parquet_clean
+    from ..stages.window_fn import partitioned_rolling_sum
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=("event_id", "user_id", "ts", "value"))
+
+    def prep(batch):
+        batch = batch.append_column(
+            "ts_us", _pc.cast(batch["ts"], pa.int64()))
+        vi = _pc.cast(_pc.floor(batch["value"]), pa.int64())
+        return batch.append_column("vi", vi).drop_columns(["ts", "value"])
+
+    ds = partitioned_rolling_sum(ev.map_batches(prep,
+                                                batch_format="pyarrow"),
+                                 key="user_id",
+                                 order=["ts_us", "event_id"], val="vi",
+                                 window=7, out_col="roll7")
+    return ds.select_columns(["event_id", "user_id", "roll7"])
+
+
+ROLLING_VALUE_SQL = """
+SELECT event_id, user_id,
+  CAST(sum(CAST(floor(value) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7
+FROM events
+"""
+
+
 def turn_renumber(sf_dir):
     """Stable turn re-sequencing: ``row_number() OVER (PARTITION BY
     conv_id ORDER BY ts, turn_idx)`` over the canonical transcripts
@@ -1797,6 +1833,7 @@ QUERIES = {
     "pack_shards": pack_shards,
     "pack_shards_greedy": pack_shards_greedy,
     "event_gaps": event_gaps,
+    "rolling_value": rolling_value,
     "turn_renumber": turn_renumber,
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
@@ -1852,6 +1889,7 @@ ORACLES = {
     "pack_shards": PACK_SHARDS_SQL,
     "pack_shards_greedy": PACK_SHARDS_GREEDY_SQL,
     "event_gaps": EVENT_GAPS_SQL,
+    "rolling_value": ROLLING_VALUE_SQL,
     "turn_renumber": TURN_RENUMBER_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,

@@ -180,6 +180,91 @@ def grouped_topk(ds: Dataset, key: str, val: str, k: int,
     return pruned.groupby(key).map_groups(local, batch_format="pyarrow")
 
 
+def _boundary_tail(block, key: str, val: str, n: int):
+    """Pass-1 kernel for rolling windows: (first_key, last_key, last
+    ≤ n values of the trailing key's run) — the only state a later
+    block can need."""
+    t = _as_arrow(block)
+    k = _key_array(t, key)
+    v = t[val].to_numpy(zero_copy_only=False)
+    lk = k[-1]
+    run = v[k == lk]
+    return k[0], lk, run[-n:] if n else run[:0]
+
+
+def _apply_rolling(block, key: str, val: str, out_col: str, window: int,
+                   boundary_key, carry_vals) -> pa.Table:
+    """Pass-2 kernel: windowed sum over key-contiguous rows, with
+    ``carry_vals`` (≤ window−1 values) prepended to the first run when
+    it continues ``boundary_key`` from the previous block."""
+    t = _as_arrow(block)
+    k = _key_array(t, key)
+    v = t[val].to_numpy(zero_copy_only=False)
+    m = len(carry_vals) if (boundary_key is not None
+                            and len(k) and k[0] == boundary_key) else 0
+    if m:
+        k = np.concatenate([np.repeat(k[:1], m), k])
+        v = np.concatenate([np.asarray(carry_vals, dtype=v.dtype), v])
+    n = len(k)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.append(starts, n))
+    run_start = np.repeat(starts, sizes)
+    cs = np.cumsum(v)
+    pos = np.arange(n) - run_start
+    # inclusive within-run cumsum
+    inc = cs - np.where(run_start > 0, cs[run_start - 1], 0)
+    back = np.arange(n) - window
+    valid = pos >= window
+    prior = np.where(valid, inc[np.clip(back, 0, None)], 0)
+    rolling = inc - prior
+    out = rolling[m:]
+    return t.append_column(out_col, pa.array(out))
+
+
+def partitioned_rolling_sum(ds: Dataset, key: str, order: Sequence[str],
+                            val: str, window: int,
+                            out_col: str = "rolling_sum") -> Dataset:
+    """``sum(val) OVER (PARTITION BY key ORDER BY order ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``.  Use integer values for
+    bit-exact oracle parity (float window sums are association-
+    sensitive).  Cross-block state is the trailing ≤ window−1 values of
+    each boundary key — bounded driver fold, same scan shape as
+    :func:`partitioned_cumsum`."""
+    import ray
+    import ray.data as rd
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    refs = _ordered_refs(ds, [key, *order])
+    if not refs:
+        return ds
+    summary = ray.remote(_boundary_tail)
+    infos = ray.get([summary.remote(r, key, val, window - 1)
+                     for r in refs])
+
+    carries: List[tuple] = []
+    carry_key, carry_tail = None, None
+    for fk, lk, tail in infos:
+        if carry_key is not None and fk == carry_key:
+            carries.append((fk, carry_tail))
+            if fk == lk:            # run continues through the block
+                joined = np.concatenate([carry_tail, tail])
+                carry_key, carry_tail = lk, joined[-(window - 1):] \
+                    if window > 1 else joined[:0]
+                continue
+        else:
+            carries.append((None, tail[:0]))
+        carry_key, carry_tail = lk, tail
+
+    apply = ray.remote(_apply_rolling)
+    out = [apply.remote(r, key, val, out_col, window, bk, cv)
+           for r, (bk, cv) in zip(refs, carries)]
+    return rd.from_arrow_refs(out)
+
+
 def _boundary_last_row(block, key: str, val: str):
     t = _as_arrow(block)
     k = _key_array(t, key)

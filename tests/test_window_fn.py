@@ -203,3 +203,49 @@ def test_greedy_pack_matches_sequential(ray_session):
     want = pd.concat([seq_pack(g) for _, g in df.groupby("k")]) \
         .sort_values(["k", "o"]).reset_index(drop=True)
     assert (got["shard_id"].values == want["shard_id"].values).all()
+
+
+def test_rolling_kernels_key_spanning_blocks():
+    from opencep_ray.stages.window_fn import (_apply_rolling,
+                                              _boundary_tail)
+    # key "b" spans all three blocks; window 3
+    blocks = [pa.table({"k": ["a", "b"], "v": [5, 1]}),
+              pa.table({"k": ["b", "b"], "v": [2, 3]}),
+              pa.table({"k": ["b", "c"], "v": [4, 7]})]
+    infos = [_boundary_tail(b, "k", "v", 2) for b in blocks]
+    # mirror the driver fold in partitioned_rolling_sum
+    carries, carry_key, carry_tail = [], None, None
+    for fk, lk, tail in infos:
+        if carry_key is not None and fk == carry_key:
+            carries.append((fk, carry_tail))
+            if fk == lk:
+                joined = np.concatenate([carry_tail, tail])
+                carry_key, carry_tail = lk, joined[-2:]
+                continue
+        else:
+            carries.append((None, tail[:0]))
+        carry_key, carry_tail = lk, tail
+    out = pa.concat_tables(
+        [_apply_rolling(b, "k", "v", "r", 3, bk, cv)
+         for b, (bk, cv) in zip(blocks, carries)])
+    # b-run values: 1,2,3,4 -> rolling3: 1,3,6,9
+    assert out["r"].to_pylist() == [5, 1, 3, 6, 9, 7]
+
+
+def test_partitioned_rolling_sum_matches_pandas(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import partitioned_rolling_sum
+
+    rng = np.random.default_rng(17)
+    n = 1500
+    df = pd.DataFrame({"k": rng.integers(0, 5, n).astype(str),
+                       "o": rng.permutation(n),
+                       "v": rng.integers(0, 100, n)})
+    ds = rd.from_pandas(df).repartition(6)
+    got = partitioned_rolling_sum(ds, key="k", order=["o"], val="v",
+                                  window=4, out_col="r") \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want = df.sort_values(["k", "o"]).reset_index(drop=True)
+    r = want.groupby("k")["v"].rolling(4, min_periods=1).sum() \
+        .reset_index(level=0, drop=True).sort_index()
+    assert (got["r"].values == r.values.astype(np.int64)).all()
