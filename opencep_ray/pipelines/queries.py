@@ -876,6 +876,22 @@ FROM events
 """
 
 
+def users_per_type(sf_dir):
+    """Exact ``count(DISTINCT user_id)`` per event type
+    (:func:`opencep_ray.stages.sketch.distinct_count`): per-batch pair
+    dedup combiner, pair-level global dedup, tiny per-key count."""
+    from ..stages.sketch import distinct_count
+    ev = _events(sf_dir, columns=("event_type", "user_id"))
+    return distinct_count(ev, key="event_type", col="user_id",
+                          out_col="n_users")
+
+
+USERS_PER_TYPE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def rolling_value(sf_dir):
     """7-event moving sum of (floored) value per user — ``sum() OVER
     (... ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)`` via
@@ -1834,6 +1850,7 @@ QUERIES = {
     "pack_shards_greedy": pack_shards_greedy,
     "event_gaps": event_gaps,
     "rolling_value": rolling_value,
+    "users_per_type": users_per_type,
     "turn_renumber": turn_renumber,
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
@@ -1890,6 +1907,7 @@ ORACLES = {
     "pack_shards_greedy": PACK_SHARDS_GREEDY_SQL,
     "event_gaps": EVENT_GAPS_SQL,
     "rolling_value": ROLLING_VALUE_SQL,
+    "users_per_type": USERS_PER_TYPE_SQL,
     "turn_renumber": TURN_RENUMBER_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,

@@ -65,6 +65,31 @@ def exact_quantiles(ds: Dataset, col: str,
                      "value": pa.array(out_v)})
 
 
+def distinct_count(ds: Dataset, key: str, col: str,
+                   out_col: str = "n_distinct") -> Dataset:
+    """Exact ``count(DISTINCT col) GROUP BY key``.  Per-batch local
+    dedup of (key, col) pairs (the combiner — shrinks the exchange to
+    distinct pairs per block), one groupby on the pair for global
+    dedup, then a tiny per-key count of the surviving pair rows.
+    Row-level data never shuffles; cost scales with distinct pairs."""
+    import polars as pl
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return (pl.from_arrow(batch.select([key, col])).unique()
+                .to_arrow())
+
+    from ray.data.aggregate import Count
+    pairs = (ds.map_batches(uniq, batch_format="pyarrow")
+             .groupby([key, col]).aggregate(Count(alias_name="_c")))
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch[key],
+                         "_one": np.ones(batch.num_rows, np.int64)})
+
+    return (pairs.map_batches(ones, batch_format="pyarrow")
+            .groupby(key).aggregate(Sum("_one", alias_name=out_col)))
+
+
 def grouped_quantile(ds: Dataset, key: str, col: str, q: float) -> dict:
     """Per-key exact discrete quantile of ``col`` (same ``quantile_disc``
     rank semantics as :func:`exact_quantiles`).  Returns a plain

@@ -66,3 +66,24 @@ def test_grouped_quantile_matches_per_key_disc(ray_session):
     want = dict(duckdb.sql(
         "SELECT k, quantile_disc(v, 0.25) FROM t GROUP BY k").fetchall())
     assert got == want
+
+
+def test_distinct_count_matches_duckdb(ray_session):
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+    import duckdb
+    from opencep_ray.stages.sketch import distinct_count
+
+    rng = np.random.default_rng(19)
+    n = 2000
+    t = pa.table({"k": rng.integers(0, 5, n).astype(str),
+                  "v": rng.integers(0, 40, n)})
+    got = distinct_count(rd.from_arrow(t).repartition(7),
+                         key="k", col="v", out_col="n") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT k, count(DISTINCT v) AS n FROM t GROUP BY k ORDER BY k") \
+        .fetchdf()
+    assert (got["k"].values == want["k"].values).all()
+    assert (got["n"].values == want["n"].values).all()
