@@ -195,6 +195,48 @@ WHERE a.event_type = 'view' AND b.event_type = 'click'
 """
 
 
+def cep_nested(sf_dir):
+    """Nested operator tree SEQ(a, AND(b, c), d): the AND group's
+    members are mutually unordered but every SEQ precedence applies
+    component-wise (a ≤ b, a ≤ c, b ≤ d, c ≤ d — the evaluator's
+    per-entry precompiled checks; reference nested-op semantics per
+    tree/nodes/AndNode.py + SeqNode merged-order validation).  Upgrades
+    nested coverage from property-fuzz-only to a hard SQL oracle.
+    Because SEQ makes a the window min and d the max, the oracle joins
+    the tight windowed a–d pairs first (materialized CTEs — DuckDB's
+    planner chooses a pathological order for the flat 4-way join)."""
+    p = Pattern(Seq(Primitive("view", "a"),
+                    And(Primitive("click", "b"), Primitive("error", "c")),
+                    Primitive("purchase", "d")),
+                SimpleCondition(Variable("a", lambda e: e["value"]),
+                                Variable("d", lambda e: e["value"]),
+                                relation_op=lambda va, vd: vd > va),
+                window=48 * HOUR)
+    return CEP(p, _events_cfg(),
+               _ids_emitter(["a", "b", "c", "d"])).run(_events(sf_dir))
+
+
+CEP_NESTED_SQL = """
+WITH ad AS MATERIALIZED (
+  SELECT a.user_id, a.event_id AS a_id, epoch_us(a.ts) AS a_tu,
+         d.event_id AS d_id, epoch_us(d.ts) AS d_tu
+  FROM events a JOIN events d ON a.user_id = d.user_id
+  WHERE a.event_type = 'view' AND d.event_type = 'purchase'
+    AND a.ts <= d.ts AND epoch_us(d.ts) - epoch_us(a.ts) <= 172800000000
+    AND d.value > a.value),
+abd AS MATERIALIZED (
+  SELECT ad.*, b.event_id AS b_id FROM ad
+  JOIN events b ON b.user_id = ad.user_id
+  WHERE b.event_type = 'click' AND epoch_us(b.ts) >= ad.a_tu
+    AND epoch_us(b.ts) <= ad.d_tu)
+SELECT abd.user_id AS user_id, abd.a_id AS a_id, abd.b_id AS b_id,
+       c.event_id AS c_id, abd.d_id AS d_id
+FROM abd JOIN events c ON c.user_id = abd.user_id
+WHERE c.event_type = 'error' AND epoch_us(c.ts) >= abd.a_tu
+  AND epoch_us(c.ts) <= abd.d_tu
+"""
+
+
 def cep_and(sf_dir):
     p = Pattern(And(Primitive("signup", "a"), Primitive("error", "b")),
                 window=MIN_30)
@@ -1824,6 +1866,7 @@ def _round_col(ds, col: str, digits: int):
 QUERIES = {
     "cep_seq2": cep_seq2,
     "cep_seq3": cep_seq3,
+    "cep_nested": cep_nested,
     "cep_and": cep_and,
     "cep_negation": cep_negation,
     "cep_kleene": cep_kleene,
@@ -1881,6 +1924,7 @@ QUERIES = {
 ORACLES = {
     "cep_seq2": CEP_SEQ2_SQL,
     "cep_seq3": CEP_SEQ3_SQL,
+    "cep_nested": CEP_NESTED_SQL,
     "cep_and": CEP_AND_SQL,
     "cep_negation": CEP_NEG_SQL,
     "cep_kleene": CEP_KLEENE_SQL,
