@@ -1001,6 +1001,34 @@ FROM t
 """
 
 
+def conv_role_seq(sf_dir):
+    """Per-conversation role sequence — ``string_agg(role, ','
+    ORDER BY ts, turn_idx)``: the "rebuild the conversation view"
+    primitive.  Each sorted block collapses to one fragment per
+    conversation it contains
+    (:func:`opencep_ray.stages.window_fn.ordered_collect`), so the
+    final merge touches #conv-block fragments, not turns."""
+    import pyarrow.compute as _pc
+    from ..stages.window_fn import ordered_collect
+    t = _transcripts_ds(columns=("conv_id", "turn_idx", "role", "ts"))
+
+    def us(batch):
+        return batch.append_column(
+            "ts_us", _pc.cast(batch["ts"], pa.int64()))
+
+    return ordered_collect(t.map_batches(us, batch_format="pyarrow"),
+                           key="conv_id", order=["ts_us", "turn_idx"],
+                           col="role", sep=",", out_col="role_seq")
+
+
+CONV_ROLE_SEQ_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}'))
+SELECT conv_id,
+       string_agg(role, ',' ORDER BY epoch_us(ts), turn_idx) AS role_seq
+FROM t GROUP BY conv_id
+"""
+
+
 def top_docs_per_source(sf_dir):
     """Top-3 documents per source by length (doc_id ascending as the
     deterministic tie-break): local per-block top-k prune, one bounded
@@ -1895,6 +1923,7 @@ QUERIES = {
     "rolling_value": rolling_value,
     "users_per_type": users_per_type,
     "turn_renumber": turn_renumber,
+    "conv_role_seq": conv_role_seq,
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
     "filter_quality_quantile": filter_quality_quantile,
@@ -1953,6 +1982,7 @@ ORACLES = {
     "rolling_value": ROLLING_VALUE_SQL,
     "users_per_type": USERS_PER_TYPE_SQL,
     "turn_renumber": TURN_RENUMBER_SQL,
+    "conv_role_seq": CONV_ROLE_SEQ_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,
     "filter_quality_quantile": FILTER_QUALITY_QUANTILE_SQL,

@@ -265,7 +265,50 @@ def partitioned_rolling_sum(ds: Dataset, key: str, order: Sequence[str],
     return rd.from_arrow_refs(out)
 
 
-def _boundary_last_row(block, key: str, val: str):
+def _collect_fragments(block, blk_idx: int, key: str, col: str,
+                       sep: str) -> pa.Table:
+    """Collapses one sorted block to (key, fragment) rows — the ordered
+    within-block concatenation, one row per key present."""
+    import polars as pl
+    t = _as_arrow(block)
+    df = pl.from_arrow(t.select([key, col]))
+    out = (df.group_by(key, maintain_order=True)
+           .agg(pl.col(col).cast(pl.String).str.join(sep).alias("_frag")))
+    frag = out.to_arrow()
+    return pa.table({key: pa.compute.cast(frag[key],
+                                          t.schema.field(key).type),
+                     "_blk": pa.array(np.full(frag.num_rows, blk_idx,
+                                              np.int64)),
+                     "_frag": pa.compute.cast(frag["_frag"], pa.string())})
+
+
+def ordered_collect(ds: Dataset, key: str, order: Sequence[str],
+                    col: str, sep: str = ",",
+                    out_col: str = "collected") -> Dataset:
+    """``string_agg(col, sep ORDER BY order) GROUP BY key``.
+
+    Same sorted-block shape as the scans: each block collapses to ONE
+    fragment row per key it contains (vectorized polars group-join), so
+    the final merge runs over #key-block fragments — tiny relative to
+    the corpus — ordered by block index within each key."""
+    import ray
+    import ray.data as rd
+
+    refs = _ordered_refs(ds, [key, *order])
+    if not refs:
+        return ds
+    frag = ray.remote(_collect_fragments)
+    frags = rd.from_arrow_refs(
+        [frag.remote(r, i, key, col, sep) for i, r in enumerate(refs)])
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = np.argsort(group["_blk"].to_numpy(zero_copy_only=False),
+                         kind="stable")
+        parts = group["_frag"].take(pa.array(idx)).to_pylist()
+        return pa.table({key: group[key].slice(0, 1),
+                         out_col: pa.array([sep.join(parts)])})
+
+    return frags.groupby(key).map_groups(merge, batch_format="pyarrow")
     t = _as_arrow(block)
     k = _key_array(t, key)
     return k[0], k[-1], t[val][-1].as_py()

@@ -249,3 +249,23 @@ def test_partitioned_rolling_sum_matches_pandas(ray_session):
     r = want.groupby("k")["v"].rolling(4, min_periods=1).sum() \
         .reset_index(level=0, drop=True).sort_index()
     assert (got["r"].values == r.values.astype(np.int64)).all()
+
+
+def test_ordered_collect_matches_pandas(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import ordered_collect
+
+    rng = np.random.default_rng(23)
+    n = 900
+    df = pd.DataFrame({"k": rng.integers(0, 6, n).astype(str),
+                       "o": rng.permutation(n),
+                       "w": rng.choice(list("abcde"), n)})
+    got = ordered_collect(rd.from_pandas(df).repartition(5), key="k",
+                          order=["o"], col="w", sep="|",
+                          out_col="seq") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = (df.sort_values(["k", "o"]).groupby("k")["w"]
+            .agg(lambda s: "|".join(s)).reset_index()
+            .rename(columns={"w": "seq"}))
+    assert (got["k"].values == want["k"].values).all()
+    assert (got["seq"].values == want["seq"].values).all()
