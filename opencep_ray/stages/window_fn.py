@@ -309,6 +309,9 @@ def ordered_collect(ds: Dataset, key: str, order: Sequence[str],
                          out_col: pa.array([sep.join(parts)])})
 
     return frags.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def _boundary_last_row(block, key: str, val: str):
     t = _as_arrow(block)
     k = _key_array(t, key)
     return k[0], k[-1], t[val][-1].as_py()
