@@ -1094,6 +1094,48 @@ FROM documents
 """
 
 
+def doc_top_term(sf_dir):
+    """Per-document top TF-IDF term: the document-frequency table (the
+    small side by construction — one row per vocabulary token) is
+    computed once with the partial-merge combiner, broadcast via
+    ``ray.put``, and every batch scores locally — the corpus itself
+    never shuffles (:class:`opencep_ray.stages.text.TfIdfTopTerm`)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from ..stages.text import TfIdfTopTerm, TokenDocFreq
+    docs = _documents(sf_dir)
+    df_tbl = (docs.map_batches(TokenDocFreq(), batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+    vocab = pa.Table.from_pandas(df_tbl.to_pandas(),
+                                 preserve_index=False)
+    n_docs = _documents(sf_dir).count()
+    stage = TfIdfTopTerm(ray.put(vocab), n_docs)
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+DOC_TOP_TERM_SQL = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS MATERIALIZED (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf::DOUBLE * ((SELECT n FROM n)::DOUBLE / df.df::DOUBLE)
+             AS score
+  FROM tf JOIN df USING (token)),
+pick AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rn
+  FROM scored)
+SELECT doc_id, token AS top_term, score FROM pick WHERE rn = 1
+"""
+
+
 def filter_quality_quantile(sf_dir):
     """Per-language quality-floor filter — drop each language's bottom
     quartile: quality scores bucketed by ``floor(score·100)`` (floor is
@@ -1927,6 +1969,7 @@ QUERIES = {
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
     "filter_quality_quantile": filter_quality_quantile,
+    "doc_top_term": doc_top_term,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1986,6 +2029,7 @@ ORACLES = {
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,
     "filter_quality_quantile": FILTER_QUALITY_QUANTILE_SQL,
+    "doc_top_term": DOC_TOP_TERM_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -146,6 +146,58 @@ class TokenDocFreq:
                          "df_part": pc.cast(out["df_part"], pa.int64())})
 
 
+class TfIdfTopTerm:
+    """Per-document top TF-IDF term — the composed form of
+    :class:`TokenDocFreq`: the (small) document-frequency table ships
+    ONCE per actor via ``ray.put`` and every batch scores its own
+    tokens locally, so the corpus never shuffles.  Score is
+    ``tf · (N / df)`` evaluated in exactly that association so the
+    doubles match the SQL oracle bit-for-bit; ties break by token
+    ascending.  Documents whose every token is missing from the DF
+    table (impossible when the table comes from the same corpus) are
+    dropped."""
+
+    def __init__(self, df_ref, n_docs: int, col: str = "text",
+                 id_col: str = "doc_id"):
+        self.df_ref = df_ref            # ray.put of a pyarrow Table
+        self.n_docs = float(n_docs)
+        self.col = col
+        self.id_col = id_col
+        self._df = None
+
+    def _df_frame(self):
+        if self._df is None:
+            import polars as pl
+            import ray
+            tbl = ray.get(self.df_ref)
+            self._df = pl.from_arrow(tbl).with_columns(
+                pl.col("token").cast(pl.String))
+        return self._df
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select([self.id_col, self.col]))
+        tf = (df.with_columns(
+            pl.col(self.col).cast(pl.String).fill_null("")
+            .str.to_lowercase().str.split(" ").alias("_t"))
+            .select(self.id_col, "_t").explode("_t")
+            .group_by([self.id_col, "_t"]).agg(pl.len().alias("_tf"))
+            .rename({"_t": "token"}))
+        scored = (tf.join(self._df_frame(), on="token", how="inner")
+                  .with_columns(
+                      (pl.col("_tf").cast(pl.Float64)
+                       * (pl.lit(self.n_docs) / pl.col("df")
+                          .cast(pl.Float64))).alias("score"))
+                  .sort(["score", "token"], descending=[True, False])
+                  .group_by(self.id_col, maintain_order=True).head(1)
+                  .sort(self.id_col))
+        out = scored.to_arrow()
+        return pa.table({
+            self.id_col: pc.cast(out[self.id_col], pa.int64()),
+            "top_term": pc.cast(out["token"], pa.string()),
+            "score": pc.cast(out["score"], pa.float64())})
+
+
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "with", "for"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",

@@ -398,3 +398,22 @@ def test_repetition_stats_empty_batch():
     out = RepetitionStats()(t)
     assert out.num_rows == 0
     assert "top_word_frac" in out.schema.names
+
+
+def test_tfidf_top_term_hand_values(ray_session):
+    import ray
+    from opencep_ray.stages.text import TfIdfTopTerm
+    # corpus: d1="a a b", d2="b c", d3="c c c" -> N=3
+    # df: a=1, b=2, c=2
+    vocab = pa.table({"token": ["a", "b", "c"],
+                      "df": pa.array([1, 2, 2], pa.int64())})
+    stage = TfIdfTopTerm(ray.put(vocab), 3)
+    out = stage(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                          "text": ["a a b", "b c", "c c c"]}))
+    got = {d: (t, s) for d, t, s in zip(out["doc_id"].to_pylist(),
+                                        out["top_term"].to_pylist(),
+                                        out["score"].to_pylist())}
+    # d1: a -> 2*(3/1)=6 beats b -> 1*(3/2)=1.5
+    # d2: tie b,c at 1.5 -> token asc picks b
+    # d3: c -> 3*1.5=4.5
+    assert got == {1: ("a", 6.0), 2: ("b", 1.5), 3: ("c", 4.5)}
