@@ -168,6 +168,29 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+def cep_stream_seq2(sf_dir):
+    """The STREAMING engine under the correctness gate: the same
+    pattern, window and condition as :func:`cep_seq2`, but run through
+    ``StreamingCEP`` — micro-batched ingest, stateful actor-pool
+    workers, exactly-once Parquet sink — and read back from the sink.
+    Shares :data:`CEP_SEQ2_SQL`'s oracle, so the gate checks that the
+    streaming path emits the exact batch-equal match set."""
+    import os
+    import shutil
+    from ..streaming import StreamingCEP, read_matches
+    p = Pattern(Seq(Primitive("view", "a"), Primitive("purchase", "b")),
+                SimpleCondition(Variable("a", lambda e: e["value"]),
+                                Variable("b", lambda e: e["value"]),
+                                relation_op=lambda va, vb: vb > va),
+                window=24 * HOUR)
+    out = f"/tmp/graft_synth/stream_q_{os.getpid()}"
+    shutil.rmtree(out, ignore_errors=True)
+    s = StreamingCEP(p, _events_cfg(), num_workers=4,
+                     emitter=_ids_emitter(["a", "b"]))
+    s.run_files([f"{sf_dir}/events.parquet"], out, micro_batch_rows=2000)
+    return read_matches(out)
+
+
 def cep_seq3(sf_dir):
     p = Pattern(Seq(Primitive("view", "a"), Primitive("click", "b"),
                     Primitive("purchase", "c")),
@@ -1935,6 +1958,7 @@ def _round_col(ds, col: str, digits: int):
 
 QUERIES = {
     "cep_seq2": cep_seq2,
+    "cep_stream_seq2": cep_stream_seq2,
     "cep_seq3": cep_seq3,
     "cep_nested": cep_nested,
     "cep_and": cep_and,
@@ -1995,6 +2019,7 @@ QUERIES = {
 
 ORACLES = {
     "cep_seq2": CEP_SEQ2_SQL,
+    "cep_stream_seq2": CEP_SEQ2_SQL,
     "cep_seq3": CEP_SEQ3_SQL,
     "cep_nested": CEP_NESTED_SQL,
     "cep_and": CEP_AND_SQL,
