@@ -269,3 +269,21 @@ def test_ordered_collect_matches_pandas(ray_session):
             .rename(columns={"w": "seq"}))
     assert (got["k"].values == want["k"].values).all()
     assert (got["seq"].values == want["seq"].values).all()
+
+
+def test_collect_fragment_kernel_key_spanning_blocks():
+    from opencep_ray.stages.window_fn import _collect_fragments
+    blocks = [pa.table({"k": ["a", "b"], "w": ["x", "y"]}),
+              pa.table({"k": ["b", "b"], "w": ["z", "q"]}),
+              pa.table({"k": ["c"], "w": ["r"]})]
+    frags = pa.concat_tables(
+        [_collect_fragments(b, i, "k", "w", "-")
+         for i, b in enumerate(blocks)])
+    got = {}
+    for k, blk, f in zip(frags["k"].to_pylist(),
+                         frags["_blk"].to_pylist(),
+                         frags["_frag"].to_pylist()):
+        got.setdefault(k, []).append((blk, f))
+    # merging fragments in block order must rebuild the full sequences
+    merged = {k: "-".join(f for _, f in sorted(v)) for k, v in got.items()}
+    assert merged == {"a": "x", "b": "y-z-q", "c": "r"}
