@@ -1024,6 +1024,26 @@ FROM t
 """
 
 
+def doc_length_rank(sf_dir):
+    """``dense_rank() OVER (PARTITION BY source ORDER BY n_chars)`` —
+    a value run crossing a block boundary carries (last value, running
+    rank), so it never double-counts
+    (:func:`opencep_ray.stages.window_fn.partitioned_dense_rank`)."""
+    from ..stages.window_fn import partitioned_dense_rank
+    docs = _documents(sf_dir, columns=("doc_id", "source", "n_chars"))
+    return partitioned_dense_rank(docs, key="source", val="n_chars",
+                                  out_col="len_rank") \
+        .select_columns(["doc_id", "source", "len_rank"])
+
+
+DOC_LENGTH_RANK_SQL = """
+SELECT doc_id, source,
+       CAST(dense_rank() OVER (PARTITION BY source ORDER BY n_chars)
+            AS BIGINT) AS len_rank
+FROM documents
+"""
+
+
 def conv_role_seq(sf_dir):
     """Per-conversation role sequence — ``string_agg(role, ','
     ORDER BY ts, turn_idx)``: the "rebuild the conversation view"
@@ -1990,6 +2010,7 @@ QUERIES = {
     "users_per_type": users_per_type,
     "turn_renumber": turn_renumber,
     "conv_role_seq": conv_role_seq,
+    "doc_length_rank": doc_length_rank,
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
     "filter_quality_quantile": filter_quality_quantile,
@@ -2051,6 +2072,7 @@ ORACLES = {
     "users_per_type": USERS_PER_TYPE_SQL,
     "turn_renumber": TURN_RENUMBER_SQL,
     "conv_role_seq": CONV_ROLE_SEQ_SQL,
+    "doc_length_rank": DOC_LENGTH_RANK_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,
     "filter_quality_quantile": FILTER_QUALITY_QUANTILE_SQL,

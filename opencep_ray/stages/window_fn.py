@@ -265,6 +265,74 @@ def partitioned_rolling_sum(ds: Dataset, key: str, order: Sequence[str],
     return rd.from_arrow_refs(out)
 
 
+def _dense_summary(block, key: str, val: str):
+    """Pass-1 kernel for dense_rank: boundary keys, their first/last
+    values, and the distinct-value counts of the boundary runs."""
+    t = _as_arrow(block)
+    k = _key_array(t, key)
+    v = t[val].to_numpy(zero_copy_only=False)
+    fk, lk = k[0], k[-1]
+    fv = v[k == fk]
+    lv = v[k == lk]
+    d_first = int(1 + (fv[1:] != fv[:-1]).sum()) if len(fv) else 0
+    d_last = int(1 + (lv[1:] != lv[:-1]).sum()) if len(lv) else 0
+    return fk, v[0], lk, v[-1], d_first, d_last
+
+
+def _apply_dense(block, key: str, val: str, out_col: str,
+                 boundary_key, carry_val, carry_rank) -> pa.Table:
+    """Pass-2 kernel: within-block dense rank per key-contiguous run
+    (input sorted by key, val), shifted by the boundary carry."""
+    t = _as_arrow(block)
+    k = _key_array(t, key)
+    v = t[val].to_numpy(zero_copy_only=False)
+    n = len(k)
+    key_change = np.empty(n, dtype=bool)
+    key_change[0] = True
+    key_change[1:] = k[1:] != k[:-1]
+    new_distinct = np.empty(n, dtype=bool)
+    new_distinct[0] = True
+    new_distinct[1:] = key_change[1:] | (v[1:] != v[:-1])
+    rank = _grouped_cumsum(k, new_distinct.astype(np.int64),
+                           exclusive=False)
+    if boundary_key is not None and k[0] == boundary_key:
+        adjust = carry_rank - (1 if v[0] == carry_val else 0)
+        rank = rank + adjust * (k == boundary_key)
+    return t.append_column(out_col, pa.array(rank))
+
+
+def partitioned_dense_rank(ds: Dataset, key: str, val: str,
+                           out_col: str = "dense_rank") -> Dataset:
+    """``dense_rank() OVER (PARTITION BY key ORDER BY val)`` — carry is
+    (last value, running dense rank) of each boundary key, so a value
+    run crossing a block boundary does not double-count."""
+    import ray
+    import ray.data as rd
+
+    refs = _ordered_refs(ds, [key, val])
+    if not refs:
+        return ds
+    summary = ray.remote(_dense_summary)
+    infos = ray.get([summary.remote(r, key, val) for r in refs])
+
+    carries: List[tuple] = []
+    carry_key, carry_val, carry_rank = None, None, 0
+    for fk, fv, lk, lv, d_first, d_last in infos:
+        cont = carry_key is not None and fk == carry_key
+        carries.append((fk, carry_val, carry_rank) if cont
+                       else (None, None, 0))
+        if cont and fk == lk:
+            carry_rank = carry_rank + d_last \
+                - (1 if fv == carry_val else 0)
+        else:
+            carry_rank = d_last
+        carry_key, carry_val = lk, lv
+    apply = ray.remote(_apply_dense)
+    out = [apply.remote(r, key, val, out_col, bk, cv, cr)
+           for r, (bk, cv, cr) in zip(refs, carries)]
+    return rd.from_arrow_refs(out)
+
+
 def _collect_fragments(block, blk_idx: int, key: str, col: str,
                        sep: str) -> pa.Table:
     """Collapses one sorted block to (key, fragment) rows — the ordered

@@ -287,3 +287,42 @@ def test_collect_fragment_kernel_key_spanning_blocks():
     # merging fragments in block order must rebuild the full sequences
     merged = {k: "-".join(f for _, f in sorted(v)) for k, v in got.items()}
     assert merged == {"a": "x", "b": "y-z-q", "c": "r"}
+
+
+def test_dense_rank_kernels_value_run_across_blocks():
+    from opencep_ray.stages.window_fn import _apply_dense, _dense_summary
+    # key "b": values 1,1 | 1,2 | 2,3 across blocks; dense ranks 1,1,1,2,2,3
+    blocks = [pa.table({"k": ["a", "b", "b"], "v": [9, 1, 1]}),
+              pa.table({"k": ["b", "b"], "v": [1, 2]}),
+              pa.table({"k": ["b", "b", "c"], "v": [2, 3, 5]})]
+    infos = [_dense_summary(b, "k", "v") for b in blocks]
+    carries, carry_key, carry_val, carry_rank = [], None, None, 0
+    for fk, fv, lk, lv, d_first, d_last in infos:
+        cont = carry_key is not None and fk == carry_key
+        carries.append((fk, carry_val, carry_rank) if cont
+                       else (None, None, 0))
+        if cont and fk == lk:
+            carry_rank = carry_rank + d_last - (1 if fv == carry_val else 0)
+        else:
+            carry_rank = d_last
+        carry_key, carry_val = lk, lv
+    out = pa.concat_tables(
+        [_apply_dense(b, "k", "v", "dr", bk, cv, cr)
+         for b, (bk, cv, cr) in zip(blocks, carries)])
+    assert out["dr"].to_pylist() == [1, 1, 1, 1, 2, 2, 3, 1]
+
+
+def test_partitioned_dense_rank_matches_pandas(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import partitioned_dense_rank
+
+    rng = np.random.default_rng(29)
+    n = 1200
+    df = pd.DataFrame({"k": rng.integers(0, 5, n).astype(str),
+                       "v": rng.integers(0, 25, n)})  # heavy value ties
+    got = partitioned_dense_rank(rd.from_pandas(df).repartition(6),
+                                 key="k", val="v", out_col="dr") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    want = df.sort_values(["k", "v"]).reset_index(drop=True)
+    dr = want.groupby("k")["v"].rank(method="dense").astype(np.int64)
+    assert (got["dr"].values == dr.values).all()
