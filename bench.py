@@ -235,7 +235,8 @@ def run_bench() -> dict:
         store_bytes = int(mem_kb * 1024 * 0.5)
     except (OSError, StopIteration):
         store_bytes = None
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, ignore_reinit_error=True,
                  object_store_memory=store_bytes,
@@ -265,13 +266,15 @@ def run_bench() -> dict:
     # subsequent pipelines (A/B on identical code: stream 6.1 s same
     # session vs 3.9 s after restart, worker busy 49 s vs 34 s).  The
     # timed queries still share ONE session with each other, as before.
-    ray.shutdown()
-    ray.init(address="local", num_cpus=NUM_CPUS,
-             include_dashboard=False, ignore_reinit_error=True,
-             object_store_memory=store_bytes, logging_level="ERROR")
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    # Never restart a session someone else owns (in-process callers).
+    if owns_session:
+        ray.shutdown()
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 object_store_memory=store_bytes, logging_level="ERROR")
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.execution_options.verbose_progress = False
 
     steal = measure_host_steal()
     mips = measure_spin_mips()
@@ -312,7 +315,8 @@ def run_bench() -> dict:
             pq.read_metadata(f).num_rows for f in
             __import__("glob").glob(f"{BENCH_TRANSCRIPTS}/*.parquet")),
     }
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return result
 
 
