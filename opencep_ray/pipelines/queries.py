@@ -1024,6 +1024,42 @@ FROM t
 """
 
 
+def latest_event_per_user(sf_dir):
+    """Dedup-by-recency / snapshot semantics: each user's most recent
+    event (ties on ts broken by highest event_id).  grouped_topk with
+    k=1 — local per-block prune, one bounded exchange."""
+    import pyarrow.compute as _pc
+    from ..stages.window_fn import grouped_topk
+    ev = _events(sf_dir, columns=("event_id", "user_id", "ts",
+                                  "event_type"))
+
+    def us(batch):
+        # single sort key: ts in µs scaled + event_id as tiebreak via
+        # lexicographic (ts_us, event_id) — encode both in the prune by
+        # sorting on ts_us desc then event_id desc
+        return batch.append_column(
+            "ts_us", _pc.cast(batch["ts"], pa.int64()))
+
+    def neg_id(batch):
+        return batch.append_column(
+            "neg_event_id", _pc.negate(batch["event_id"]))
+
+    ds = ev.map_batches(us, batch_format="pyarrow") \
+        .map_batches(neg_id, batch_format="pyarrow")
+    out = grouped_topk(ds, key="user_id", val="ts_us", k=1,
+                       tiebreak=("neg_event_id",))
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
 def doc_length_rank(sf_dir):
     """``dense_rank() OVER (PARTITION BY source ORDER BY n_chars)`` —
     a value run crossing a block boundary carries (last value, running
@@ -2011,6 +2047,7 @@ QUERIES = {
     "turn_renumber": turn_renumber,
     "conv_role_seq": conv_role_seq,
     "doc_length_rank": doc_length_rank,
+    "latest_event_per_user": latest_event_per_user,
     "top_docs_per_source": top_docs_per_source,
     "vocab_df": vocab_df,
     "filter_quality_quantile": filter_quality_quantile,
@@ -2073,6 +2110,7 @@ ORACLES = {
     "turn_renumber": TURN_RENUMBER_SQL,
     "conv_role_seq": CONV_ROLE_SEQ_SQL,
     "doc_length_rank": DOC_LENGTH_RANK_SQL,
+    "latest_event_per_user": LATEST_EVENT_SQL,
     "top_docs_per_source": TOP_DOCS_PER_SOURCE_SQL,
     "vocab_df": VOCAB_DF_SQL,
     "filter_quality_quantile": FILTER_QUALITY_QUANTILE_SQL,
