@@ -23,7 +23,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator from SURVEY.md §2 plus
     the training-data stages (windows, dedup, text, ANN, multimodal,
-    relational)."""
+    relational, window functions / ordered analytics, shard packing,
+    sketches, splits, joins, sinks) — 60 queries, 59 with hard SQL
+    oracles; the streaming engine itself is gated via
+    ``cep_stream_seq2``."""
     from opencep_ray.pipelines.queries import (QUERIES,
                                                ensure_ivf_tables,
                                                ensure_signature_tables,
