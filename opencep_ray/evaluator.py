@@ -317,26 +317,33 @@ class CompiledPattern:
         n_leaves = len(self.leaves)
 
         # precedence relation over slots: (i, j) ∈ prec ⇒ slot i's events
-        # must precede slot j's ((min_ts, max_ts) ≤ component-wise).
+        # must precede slot j's ((min_ts, max_ts) ≤ component-wise).  A SEQ
+        # imposes a TOTAL order over every slot in its subtree — not just
+        # across its immediate arg groups — because the reference's SeqNode
+        # validates is_sorted over the FULL leaf-index-ordered merged match
+        # (tree/nodes/SeqNode.py:30-33): in SEQ(a, AND(b, c), d) the root
+        # SeqNode covers all four leaves, so b must precede c even though
+        # they sit inside an AND.  Slots are assigned in declaration order,
+        # so each composite's subtree is the contiguous range
+        # [ranges[0][0], ranges[-1][1]).
         prec = set()
         for comp, ranges in seq_groups:
-            if isinstance(comp, Seq):
-                for ai in range(len(ranges)):
-                    for aj in range(ai + 1, len(ranges)):
-                        for i in range(*ranges[ai]):
-                            for j in range(*ranges[aj]):
-                                if i != j:
-                                    prec.add((i, j))
+            if isinstance(comp, Seq) and ranges:
+                lo, hi = ranges[0][0], ranges[-1][1]
+                for i in range(lo, hi):
+                    for j in range(i + 1, hi):
+                        prec.add((i, j))
         self.prec = frozenset(prec)
 
-        # intra-KC SEQ ordering, keyed by leaf id (entry key)
+        # intra-KC SEQ ordering, keyed by leaf id (entry key) — same
+        # total-order rule over the SEQ's contiguous leaf-id range
         prec_keys = set()
         for leaf_ranges in kc_seq_groups:
-            for ai in range(len(leaf_ranges)):
-                for aj in range(ai + 1, len(leaf_ranges)):
-                    for i in range(*leaf_ranges[ai]):
-                        for j in range(*leaf_ranges[aj]):
-                            prec_keys.add((i, j))
+            if leaf_ranges:
+                lo, hi = leaf_ranges[0][0], leaf_ranges[-1][1]
+                for i in range(lo, hi):
+                    for j in range(i + 1, hi):
+                        prec_keys.add((i, j))
         self.prec_keys = frozenset(prec_keys)
 
         # entry-key bookkeeping: leaf entries use leaf_id (0..n_leaves-1);

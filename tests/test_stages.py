@@ -417,3 +417,25 @@ def test_tfidf_top_term_hand_values(ray_session):
     # d2: tie b,c at 1.5 -> token asc picks b
     # d3: c -> 3*1.5=4.5
     assert got == {1: ("a", 6.0), 2: ("b", 1.5), 3: ("c", 4.5)}
+
+
+def test_build_df_table_min_df_and_vocab_cap(ray_session):
+    import ray.data as rd
+    from opencep_ray.stages.text import build_df_table
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a a b", "b c", "c c c"]}))
+    # exact (min_df=1): full vocab a,b,c with df 1,2,2
+    tbl = build_df_table(docs)
+    got = dict(zip(tbl["token"].to_pylist(), tbl["df"].to_pylist()))
+    assert got == {"a": 1, "b": 2, "c": 2}
+    # min_df=2 prunes the singleton inside the pipeline
+    tbl = build_df_table(docs, min_df=2)
+    got = dict(zip(tbl["token"].to_pylist(), tbl["df"].to_pylist()))
+    assert got == {"b": 2, "c": 2}
+    # vocabulary above max_vocab raises loudly instead of materializing
+    with pytest.raises(ValueError, match="max_vocab"):
+        build_df_table(docs, max_vocab=2)
+    # ... and min_df pruning can bring it back under the cap
+    tbl = build_df_table(docs, min_df=2, max_vocab=2)
+    assert tbl.num_rows == 2
