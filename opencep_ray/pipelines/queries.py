@@ -175,6 +175,7 @@ def cep_stream_seq2(sf_dir):
     workers, exactly-once Parquet sink — and read back from the sink.
     Shares :data:`CEP_SEQ2_SQL`'s oracle, so the gate checks that the
     streaming path emits the exact batch-equal match set."""
+    import glob
     import os
     import shutil
     from ..streaming import StreamingCEP, read_matches
@@ -183,6 +184,18 @@ def cep_stream_seq2(sf_dir):
                                 Variable("b", lambda e: e["value"]),
                                 relation_op=lambda va, vb: vb > va),
                 window=24 * HOUR)
+    # pid-scoped sink (concurrent pytest/driver runs must not clobber
+    # each other), but reclaim sinks orphaned by EXITED pids so repeated
+    # driver invocations don't accumulate /tmp directories (ADVICE r03)
+    for d in glob.glob("/tmp/graft_synth/stream_q_*"):
+        try:
+            pid = int(d.rsplit("_", 1)[1])
+            if pid != os.getpid():
+                os.kill(pid, 0)     # raises if the owner is gone
+        except ValueError:
+            continue
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
     out = f"/tmp/graft_synth/stream_q_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     s = StreamingCEP(p, _events_cfg(), num_workers=4,

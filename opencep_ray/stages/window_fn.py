@@ -31,6 +31,15 @@ a key spanning 50 blocks just threads a scalar carry through 50 summary
 rows.  Raw ``ray.remote`` tasks are used deliberately: per-block
 positional context (what came before this block) is exactly what
 ``map_batches`` cannot express (SURVEY.md §2.9 additions).
+
+**Total-order requirement**: every scan here (``partitioned_cumsum``,
+``partitioned_row_number``, ``partitioned_rolling_sum``,
+``partitioned_lag``, ``partitioned_dense_rank``, ``ordered_collect``)
+assumes ``[key, *order]`` totally orders the rows.  Ray's sort is not
+stable, so with duplicate (key, order) tuples the per-row outputs
+(which row gets which running value) are nondeterministic and can
+diverge from a SQL oracle — pass enough order columns for uniqueness,
+exactly as ``grouped_topk`` documents for its tiebreak.
 """
 
 from __future__ import annotations
@@ -58,6 +67,24 @@ def _ordered_refs(ds: Dataset, sort_cols: Sequence[str]):
 
 def _key_array(tbl: pa.Table, key: str) -> np.ndarray:
     return tbl[key].to_numpy(zero_copy_only=False)
+
+
+def _empty_with_scan_col(ds: Dataset, val: str, out_col: str) -> Dataset:
+    """Empty-input path for the running-sum family: append an empty
+    ``out_col`` whose type matches the non-empty kernels' numpy cumsum
+    promotion of ``val`` (int32 → int64, float → float64, ...), so a
+    downstream ``select_columns(out_col)`` works on empty inputs too."""
+    def fn(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False)
+        return t.append_column(out_col, pa.array(np.cumsum(v)))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _empty_with_typed_col(ds: Dataset, out_col: str, typ) -> Dataset:
+    """Empty-input path appending an empty column of an explicit type."""
+    return ds.map_batches(
+        lambda t: t.append_column(out_col, pa.array([], typ)),
+        batch_format="pyarrow")
 
 
 def _boundary_summary(block, key: str, val: str):
@@ -104,16 +131,14 @@ def partitioned_cumsum(ds: Dataset, key: str, order: Sequence[str],
     """``sum(val) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
     PRECEDING)`` — inclusive by default; ``exclusive=True`` gives the
     "... AND 1 PRECEDING" frame with 0 (not NULL) for each partition's
-    first row."""
+    first row.  Requires
+    ``[key, *order]`` to totally order rows (see module docstring)."""
     import ray
     import ray.data as rd
 
     refs = _ordered_refs(ds, [key, *order])
     if not refs:
-        return ds.map_batches(
-            lambda t: t.append_column(out_col,
-                                      pa.array([], pa.int64())),
-            batch_format="pyarrow")
+        return _empty_with_scan_col(ds, val, out_col)
     summary = ray.remote(_boundary_summary)
     infos = ray.get([summary.remote(r, key, val) for r in refs])
 
@@ -232,7 +257,8 @@ def partitioned_rolling_sum(ds: Dataset, key: str, order: Sequence[str],
     bit-exact oracle parity (float window sums are association-
     sensitive).  Cross-block state is the trailing ≤ window−1 values of
     each boundary key — bounded driver fold, same scan shape as
-    :func:`partitioned_cumsum`."""
+    :func:`partitioned_cumsum`.  Requires
+    ``[key, *order]`` to totally order rows (see module docstring)."""
     import ray
     import ray.data as rd
 
@@ -240,7 +266,7 @@ def partitioned_rolling_sum(ds: Dataset, key: str, order: Sequence[str],
         raise ValueError("window must be >= 1")
     refs = _ordered_refs(ds, [key, *order])
     if not refs:
-        return ds
+        return _empty_with_scan_col(ds, val, out_col)
     summary = ray.remote(_boundary_tail)
     infos = ray.get([summary.remote(r, key, val, window - 1)
                      for r in refs])
@@ -305,13 +331,15 @@ def partitioned_dense_rank(ds: Dataset, key: str, val: str,
                            out_col: str = "dense_rank") -> Dataset:
     """``dense_rank() OVER (PARTITION BY key ORDER BY val)`` — carry is
     (last value, running dense rank) of each boundary key, so a value
-    run crossing a block boundary does not double-count."""
+    run crossing a block boundary does not double-count.  Requires
+    ``[key, val]`` rows to have a deterministic order per rank (equal
+    values share a rank, so only key/val matter here)."""
     import ray
     import ray.data as rd
 
     refs = _ordered_refs(ds, [key, val])
     if not refs:
-        return ds
+        return _empty_with_typed_col(ds, out_col, pa.int64())
     summary = ray.remote(_dense_summary)
     infos = ray.get([summary.remote(r, key, val) for r in refs])
 
@@ -358,13 +386,18 @@ def ordered_collect(ds: Dataset, key: str, order: Sequence[str],
     Same sorted-block shape as the scans: each block collapses to ONE
     fragment row per key it contains (vectorized polars group-join), so
     the final merge runs over #key-block fragments — tiny relative to
-    the corpus — ordered by block index within each key."""
+    the corpus — ordered by block index within each key.  Requires
+    ``[key, *order]`` to totally order rows (see module docstring)."""
     import ray
     import ray.data as rd
 
     refs = _ordered_refs(ds, [key, *order])
     if not refs:
-        return ds
+        # output schema is (key, out_col), not the input schema
+        return ds.map_batches(
+            lambda t: pa.table({key: t[key].slice(0, 0),
+                                out_col: pa.array([], pa.string())}),
+            batch_format="pyarrow")
     frag = ray.remote(_collect_fragments)
     frags = rd.from_arrow_refs(
         [frag.remote(r, i, key, col, sep) for i, r in enumerate(refs)])
@@ -410,13 +443,16 @@ def _apply_lag(block, key: str, val: str, out_col: str,
 def partitioned_lag(ds: Dataset, key: str, order: Sequence[str],
                     val: str, out_col: str = "lag") -> Dataset:
     """``lag(val) OVER (PARTITION BY key ORDER BY order)`` — NULL for
-    each partition's first row."""
+    each partition's first row.  Requires
+    ``[key, *order]`` to totally order rows (see module docstring)."""
     import ray
     import ray.data as rd
 
     refs = _ordered_refs(ds, [key, *order])
     if not refs:
-        return ds
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, t[val].slice(0, 0)),
+            batch_format="pyarrow")
     summary = ray.remote(_boundary_last_row)
     infos = ray.get([summary.remote(r, key, val) for r in refs])
 

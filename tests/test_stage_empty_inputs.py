@@ -61,3 +61,43 @@ def test_sink_empty(empty_docs, tmp_path):
     stats = resumable_write_parquet(empty_docs, str(tmp_path / "o"),
                                     "doc_id", num_partitions=4)
     assert stats.num_rows == 0
+
+
+def test_window_fn_empty(ray_session):
+    """All scan operators must append a correctly-typed (empty) output
+    column on empty inputs, so downstream select_columns works (round-4
+    ADVICE): previously rolling/lag/dense_rank/ordered_collect returned
+    the input unchanged and cumsum hardcoded int64."""
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.window_fn import (
+        ordered_collect, partitioned_cumsum, partitioned_dense_rank,
+        partitioned_lag, partitioned_rolling_sum)
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "o": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64())}))
+
+    # the downstream-select failure mode from ADVICE: select_columns on
+    # the output column must not raise on an empty input
+    for out, col in [
+            (partitioned_cumsum(empty, "k", ["o"], "v", "rs"), "rs"),
+            (partitioned_rolling_sum(empty, "k", ["o"], "v", 3, "roll"),
+             "roll"),
+            (partitioned_lag(empty, "k", ["o"], "v", "lagv"), "lagv"),
+            (partitioned_dense_rank(empty, "k", "v", "dr"), "dr"),
+            (ordered_collect(empty, "k", ["o"], "v", out_col="coll"),
+             "coll")]:
+        assert out.select_columns([col]).count() == 0
+
+    # dtype of the appended column (Ray drops empty blocks so Dataset
+    # schema is None — check the empty-path kernels on a table directly)
+    from opencep_ray.stages.window_fn import _empty_with_scan_col
+    tbl = pa.table({"k": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.float32())})
+    import numpy as np
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    assert pa.array(np.cumsum(v)).type == pa.float32()
+    v32 = pa.table({"v": pa.array([], pa.int32())})["v"]         .to_numpy(zero_copy_only=False)
+    assert pa.array(np.cumsum(v32)).type == pa.int64()  # numpy promotion
