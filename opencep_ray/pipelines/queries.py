@@ -1742,6 +1742,24 @@ FROM ql
 """
 
 
+def stats_quantiles_approx(sf_dir):
+    """DDSketch approximate quantiles over a RAW CONTINUOUS column
+    (l_extendedprice — exactly what ``exact_quantiles``' cardinality
+    guard turns away): deterministic mergeable log-bucket sketch with
+    relative error ≤ alpha (`stages/sketch.py:ddsketch_quantiles`,
+    Masson et al. VLDB 2019).  No SQL oracle by design (the values are
+    approximate); the alpha bound vs exact is pinned in
+    tests/test_sketch.py, and determinism across partitionings means
+    the rows-only driver check still sees identical values per run."""
+    from ..sources import read_parquet_clean
+    from ..stages.sketch import ddsketch_quantiles
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+    return ddsketch_quantiles(li, "l_extendedprice",
+                              [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                              alpha=0.01)
+
+
 def stats_heavy_hitters(sf_dir):
     """Top-10 most frequent order-quantity values with a deterministic
     tie-break (`stages/sketch.py:heavy_hitters` — the distributed
@@ -2041,6 +2059,7 @@ QUERIES = {
     "split_by_source": split_by_source,
     "stats_heavy_hitters": stats_heavy_hitters,
     "stats_quantiles": stats_quantiles,
+    "stats_quantiles_approx": stats_quantiles_approx,  # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2050,7 +2069,6 @@ QUERIES = {
     "cep_nested": cep_nested,
     # --- driver-checked green in r03 ---
     "window_tumbling": window_tumbling,
-    "window_sliding": window_sliding,
     "window_session": window_session,
     "transcripts_session": transcripts_session,
     "dedup_exact": dedup_exact,
@@ -2087,9 +2105,11 @@ QUERIES = {
     "sink_roundtrip": sink_roundtrip,
     "asof_purchase": asof_purchase,
     "asof_purchase_broadcast": asof_purchase_broadcast,
+    # streaming-engine gate: only ONE driver row so far (r03) — keep it
+    # inside the driver's 50-query window ahead of the 3-row CEP core
+    "cep_stream_seq2": cep_stream_seq2,
     # --- long-green CEP rows last (green in r01+r02+r03; oracled in pytest) ---
     "cep_seq2": cep_seq2,
-    "cep_stream_seq2": cep_stream_seq2,
     "cep_seq3": cep_seq3,
     "cep_and": cep_and,
     "cep_negation": cep_negation,
@@ -2099,6 +2119,7 @@ QUERIES = {
     "cep_hypercube": cep_hypercube,
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
+    "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
 }
 
 ORACLES = {

@@ -110,3 +110,52 @@ def test_quantile_cardinality_guard_raises(ray_session):
     assert out.num_rows == 2
     gq = grouped_quantile(ds, "k", "x", 0.5, max_distinct=1000)
     assert set(gq) == {0, 1, 2}
+
+
+def test_ddsketch_relative_error_bound(ray_session):
+    """DDSketch guarantee: every returned quantile value within alpha
+    relative error of the exact quantile — lognormal (heavy right
+    tail), mixed-sign, and zero-inflated inputs, at two alphas."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.sketch import ddsketch_quantiles
+    rng = np.random.default_rng(11)
+    datasets = {
+        "lognormal": rng.lognormal(0.0, 2.0, 200_000),
+        "mixed_sign": np.concatenate([rng.normal(-50, 20, 100_000),
+                                      rng.normal(80, 30, 100_000)]),
+        "zero_inflated": np.concatenate([np.zeros(50_000),
+                                         rng.exponential(3.0, 150_000)]),
+    }
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    for name, x in datasets.items():
+        ds = rd.from_arrow(pa.table({"x": x})).repartition(8)
+        for alpha in (0.01, 0.05):
+            got = ddsketch_quantiles(ds, "x", qs, alpha=alpha)
+            for q, v in zip(got["q"].to_pylist(),
+                            got["value"].to_pylist()):
+                exact = np.sort(x)[int(np.floor(q * (len(x) - 1)))]
+                if exact == 0.0:
+                    assert abs(v) <= 1e-9, (name, alpha, q, v)
+                else:
+                    rel = abs(v - exact) / abs(exact)
+                    assert rel <= alpha * 1.01, (name, alpha, q, v,
+                                                 exact, rel)
+
+
+def test_ddsketch_determinism_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.sketch import ddsketch_quantiles
+    x = np.random.default_rng(3).random(10_000)
+    a = ddsketch_quantiles(rd.from_arrow(pa.table({"x": x}))
+                           .repartition(2), "x", [0.5])
+    b = ddsketch_quantiles(rd.from_arrow(pa.table({"x": x}))
+                           .repartition(16), "x", [0.5])
+    # identical across partitionings (mergeable + deterministic)
+    assert a["value"].to_pylist() == b["value"].to_pylist()
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out = ddsketch_quantiles(empty, "x", [0.5])
+    assert out.num_rows == 0
