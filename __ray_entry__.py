@@ -24,11 +24,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator from SURVEY.md §2 plus
     the training-data stages (windows, dedup, text, ANN, multimodal,
     relational, window functions / ordered analytics, shard packing,
-    sketches, splits, joins, sinks) — 61 queries, 59 with hard SQL
+    sketches, splits, joins, sinks) — 62 queries, 59 with hard SQL
     oracles; the streaming engine itself is gated via
     ``cep_stream_seq2``.  The dict is ordered so queries without a
     prior driver row run inside the driver's 50-query window; the
-    11 past-position-50 entries each have >= 2 green driver rounds
+    12 past-position-50 entries each have >= 2 green driver rounds
     (r01-r03) and stay under the identical DuckDB gate in
     tests/test_queries_oracle.py."""
     from opencep_ray.pipelines.queries import (QUERIES,
@@ -46,11 +46,11 @@ def oracle_sql() -> dict[str, str]:
     ``events documents embeddings lineitem orders customer`` are
     pre-registered; the canonical transcripts table and the deterministic
     signature tables behind the minhash/simhash oracles are parquet files
-    under /tmp read via ``read_parquet``).  The two keys missing here
-    (multimodal decode — an environment stub by design — and the
-    DDSketch approximate quantiles, whose values are approximate with a
-    pinned relative-error bound in tests/test_sketch.py) get the
-    driver's rows-only check."""
+    under /tmp read via ``read_parquet``).  The three keys missing here
+    (multimodal decode — an environment stub by design — plus the
+    DDSketch approximate quantiles and HyperLogLog approximate distinct
+    counts, whose values are approximate with pinned error bounds in
+    tests/test_sketch.py) get the driver's rows-only check."""
     from opencep_ray.pipelines.queries import (ORACLES,
                                                ensure_ivf_tables,
                                                ensure_signature_tables,

@@ -1760,6 +1760,19 @@ def stats_quantiles_approx(sf_dir):
                               alpha=0.01)
 
 
+def stats_distinct_approx(sf_dir):
+    """Per-source approximate distinct document counts via HyperLogLog
+    (`stages/sketch.py:grouped_approx_distinct` — per-batch sparse
+    (key, register, max-rho) partials, one tiny groupby-max merge;
+    ≤ keys x 2^p rows move regardless of corpus size).  No SQL oracle
+    by design (approximate); the 3-sigma error bound vs exact and the
+    partitioning determinism are pinned in tests/test_sketch.py, so the
+    rows-only driver check sees identical values every run."""
+    from ..stages.sketch import grouped_approx_distinct
+    docs = _documents(sf_dir, columns=("source", "doc_id"))
+    return grouped_approx_distinct(docs, "source", "doc_id", p=12)
+
+
 def stats_heavy_hitters(sf_dir):
     """Top-10 most frequent order-quantity values with a deterministic
     tie-break (`stages/sketch.py:heavy_hitters` — the distributed
@@ -2060,6 +2073,7 @@ QUERIES = {
     "stats_heavy_hitters": stats_heavy_hitters,
     "stats_quantiles": stats_quantiles,
     "stats_quantiles_approx": stats_quantiles_approx,  # new round 4
+    "stats_distinct_approx": stats_distinct_approx,    # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2096,7 +2110,6 @@ QUERIES = {
     "doc_top_term": doc_top_term,
     "text_quality": text_quality,
     "text_langid": text_langid,
-    "text_fingerprint": text_fingerprint,
     "text_redact": text_redact,
     "text_repetition": text_repetition,
     "ann_topk": ann_topk,
@@ -2120,6 +2133,7 @@ QUERIES = {
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
     "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
+    "text_fingerprint": text_fingerprint,  # 3 green rounds (r01-r03)
 }
 
 ORACLES = {

@@ -253,3 +253,115 @@ def ddsketch_quantiles(ds: Dataset, col: str, qs: Sequence[float],
         out_v.append(vals[j])
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.float64())})
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_partial(col: str, key, p: int):
+    """Per-batch HLL partial: (key?, register_idx, rho) rows with the
+    per-(key, idx) MAX rho already taken locally (the combiner).  Hash
+    is the deterministic splitmix64 finalizer over ``keys_to_u64``
+    (split.py) — top ``p`` bits index the register, rho = leading-zero
+    count + 1 of the remaining ``64 - p`` bits."""
+    from .split import keys_to_u64, mix64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        h = mix64(keys_to_u64(batch[col]), salt=0x5EED)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel
+        # rho = clz(rest) + 1 over the top (64 - p) bits; the sentinel
+        # low bits guarantee a 1 appears, capping rho at 64 - p + 1
+        rho = np.zeros(len(h), np.int64)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        alive = np.ones(len(h), bool)
+        for _ in range(64 - p + 1):
+            zero_top = (cur & mask) == 0
+            step = alive & zero_top
+            if not step.any():
+                break
+            rho[step] += 1
+            alive &= zero_top
+            cur = cur << np.uint64(1)
+        rho += 1
+        cols = {"_idx": idx, "_rho": rho}
+        names = ["_idx"]
+        if key is not None:
+            cols = {key: batch[key], **cols}
+            names = [key, "_idx"]
+        return (pl.from_arrow(pa.table(cols))
+                .group_by(names).agg(pl.col("_rho").max()).to_arrow())
+    return fn
+
+
+def _hll_estimate(rhos: np.ndarray, m: int) -> float:
+    """Standard HLL estimator with the small-range correction (Flajolet
+    et al. 2007): registers absent from the sparse (idx, rho) rows are
+    zeros."""
+    n_set = len(rhos)
+    zeros = m - n_set
+    s = zeros * 1.0 + np.sum(np.power(2.0, -rhos))
+    e = _hll_alpha(m) * m * m / s
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return e
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 14) -> int:
+    """Approximate ``count(DISTINCT col)`` via HyperLogLog (Flajolet,
+    Fusy, Gandouet & Meunier 2007) — the scale path next to the exact
+    :func:`distinct_count`: instead of shuffling every distinct (key,
+    value) pair, each batch reduces to ≤ ``2^p`` sparse (register, max
+    rho) rows, one tiny ``groupby(register).max`` merges them, and the
+    driver reads ≤ ``2^p`` rows regardless of cardinality.  Standard
+    error ≈ ``1.04 / sqrt(2^p)`` (~0.8% at the default p=14);
+    deterministic (splitmix64 over the value, no RNG) so identical
+    across runs and partitionings.  ``col`` must be integer, string or
+    binary (the ``keys_to_u64`` contract — floats would truncate)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    from ray.data.aggregate import Max
+    merged = (ds.map_batches(_hll_partial(col, None, p),
+                             batch_format="pyarrow")
+              .groupby("_idx").aggregate(Max("_rho", alias_name="rho"))
+              .take_all())
+    if not merged:
+        return 0
+    rhos = np.array([r["rho"] for r in merged], np.float64)
+    return int(round(_hll_estimate(rhos, 1 << p)))
+
+
+def grouped_approx_distinct(ds: Dataset, key: str, col: str,
+                            p: int = 12,
+                            out_col: str = "n_distinct_approx") -> Dataset:
+    """Per-key approximate distinct count — HLL registers merge through
+    ``groupby([key, register]).max`` (≤ ``keys x 2^p`` rows move,
+    independent of row count), then a vectorized per-key estimate.
+    Returns a Dataset of (key, out_col)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    from ray.data.aggregate import Max
+    m = 1 << p
+    merged = (ds.map_batches(_hll_partial(col, key, p),
+                             batch_format="pyarrow")
+              .groupby([key, "_idx"]).aggregate(
+                  Max("_rho", alias_name="rho")))
+
+    def estimate(group: pa.Table) -> pa.Table:
+        rhos = group["rho"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        e = int(round(_hll_estimate(rhos, m)))
+        return pa.table({key: group[key].slice(0, 1),
+                         out_col: pa.array([e], pa.int64())})
+
+    return merged.groupby(key).map_groups(estimate,
+                                          batch_format="pyarrow")

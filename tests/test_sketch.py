@@ -159,3 +159,64 @@ def test_ddsketch_determinism_and_empty(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     out = ddsketch_quantiles(empty, "x", [0.5])
     assert out.num_rows == 0
+
+
+def test_hll_approx_distinct_error_bound(ray_session):
+    """HLL estimate within 3 standard errors (1.04/sqrt(m)) of the true
+    cardinality across magnitudes, int and string keys, and identical
+    across partitionings (deterministic hash, no RNG)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.sketch import approx_distinct
+    p = 14
+    se = 1.04 / (1 << p) ** 0.5
+    for true_n in (100, 5_000, 200_000):
+        vals = np.arange(true_n, dtype=np.int64)
+        # 3x duplication so distinct != row count
+        x = np.concatenate([vals, vals, vals])
+        ds = rd.from_arrow(pa.table({"x": x})).repartition(8)
+        est = approx_distinct(ds, "x", p=p)
+        assert abs(est - true_n) / true_n <= 3 * se + 0.02, (true_n, est)
+        est2 = approx_distinct(
+            rd.from_arrow(pa.table({"x": x})).repartition(3), "x", p=p)
+        assert est == est2  # partitioning-invariant
+    # string keys route through the md5 kernel
+    ss = pa.table({"s": [f"user-{i}.example.com" for i in range(20_000)]
+                   * 2})
+    est = approx_distinct(rd.from_arrow(ss), "s", p=p)
+    assert abs(est - 20_000) / 20_000 <= 3 * se + 0.02
+
+
+def test_hll_grouped_matches_exact_within_error(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.sketch import (distinct_count,
+                                           grouped_approx_distinct)
+    rng = np.random.default_rng(5)
+    n = 60_000
+    keys = rng.integers(0, 4, n)
+    vals = rng.integers(0, 3_000, n)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(6)
+    exact = {r["k"]: r["n_distinct"]
+             for r in distinct_count(ds, "k", "v").take_all()}
+    approx = {r["k"]: r["n_distinct_approx"]
+              for r in grouped_approx_distinct(ds, "k", "v",
+                                               p=12).take_all()}
+    assert set(exact) == set(approx)
+    se = 1.04 / (1 << 12) ** 0.5
+    for k, true_n in exact.items():
+        assert abs(approx[k] - true_n) / true_n <= 3 * se + 0.02, \
+            (k, true_n, approx[k])
+
+
+def test_hll_empty_and_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from opencep_ray.stages.sketch import approx_distinct
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert approx_distinct(empty, "x") == 0
+    with pytest.raises(ValueError, match="p must be"):
+        approx_distinct(empty, "x", p=2)
