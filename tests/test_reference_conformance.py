@@ -337,3 +337,37 @@ def test_value_condition_matches_reference(ref_engine, seed):
     got_ref = ref_engine(ref_p, ref_ev)
     got_ours = _run_ours(our_p, our_ev)
     assert got_ours == got_ref
+
+
+def test_reference_cannot_evaluate_or(ref_engine):
+    """Negative ref-run pin: the reference engine CANNOT evaluate
+    OrOperator — its TreePlanBuilder raises "Unsupported binary
+    operator" (plan/TreePlanBuilder.py:331) for any OR in the
+    structure.  Our rewrite-to-multi-pattern-union (transformation.
+    prepare_patterns) is therefore a strict superset of the reference's
+    executable surface; OR semantics are gated by the brute-force
+    oracle and the cep_or SQL hash instead."""
+    from base.PatternStructure import (OrOperator,
+                                       PrimitiveEventStructure,
+                                       SeqOperator)
+    ref_s = SeqOperator(PrimitiveEventStructure("V", "a"),
+                        OrOperator(PrimitiveEventStructure("C", "b"),
+                                   PrimitiveEventStructure("E", "b")))
+    ref_ev, _ = _events([(0, "V"), (1, "C")])
+    with pytest.raises(Exception, match="Unsupported binary operator"):
+        ref_engine(_ref_pattern(ref_s, 8), ref_ev)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_heavy_tie_streams_match_reference(ref_engine, seed):
+    """Many identical timestamps: SEQ tie semantics (non-strict <= with
+    the max_timestamp secondary key) must agree exactly."""
+    ref_s, our_s = _structures()["flat_seq3"]
+    rng = random.Random(5500 + seed)
+    # only 3 distinct timestamps over 12 events -> dense ties
+    spec = sorted((rng.choice([0, 1, 2]), rng.choice("VCP"))
+                  for _ in range(12))
+    ref_ev, our_ev = _events(spec)
+    got_ref = ref_engine(_ref_pattern(ref_s, 8), ref_ev)
+    got_ours = _run_ours(_our_pattern(our_s, 8), our_ev)
+    assert got_ours == got_ref
