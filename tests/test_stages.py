@@ -439,3 +439,39 @@ def test_build_df_table_min_df_and_vocab_cap(ray_session):
     # ... and min_df pruning can bring it back under the cap
     tbl = build_df_table(docs, min_df=2, max_vocab=2)
     assert tbl.num_rows == 2
+
+
+def test_bucket_pairs_vec_equals_per_bucket():
+    """The vectorized multi-bucket pair kernel must emit exactly the
+    per-bucket baseline's pairs — random bucket layouts including
+    singletons, over-cap buckets (dropped), and dense buckets."""
+    import numpy as np
+    from opencep_ray.stages.dedup import _BucketPairs, _BucketPairsVec
+    rng = np.random.default_rng(17)
+    for trial in range(10):
+        n_buckets = rng.integers(1, 40)
+        rows_bh, rows_id = [], []
+        next_id = 0
+        for b in range(n_buckets):
+            size = int(rng.choice([1, 1, 2, 3, 5, 8, 12]))
+            ids = np.arange(next_id, next_id + size)
+            next_id += size
+            rows_bh.extend([int(rng.integers(-50, 50))] * 0 or
+                           [b * 7919 - 31] * size)
+            rows_id.extend(ids.tolist())
+        perm = rng.permutation(len(rows_bh))
+        tbl = pa.table({"band_hash": pa.array(
+            np.array(rows_bh)[perm], pa.int64()),
+            "doc_id": pa.array(np.array(rows_id)[perm], pa.int64())})
+        cap = 6
+        # baseline: run per-bucket kernel bucket by bucket
+        base = []
+        for bh in sorted(set(rows_bh)):
+            sub = tbl.filter(pa.compute.equal(tbl["band_hash"], bh))
+            out = _BucketPairs("doc_id", cap)(sub)
+            base.extend(zip(out["id_a"].to_pylist(),
+                            out["id_b"].to_pylist()))
+        got_t = _BucketPairsVec("doc_id", cap)(tbl)
+        got = list(zip(got_t["id_a"].to_pylist(),
+                       got_t["id_b"].to_pylist()))
+        assert sorted(got) == sorted(base), trial
