@@ -371,3 +371,98 @@ def test_heavy_tie_streams_match_reference(ref_engine, seed):
     got_ref = ref_engine(_ref_pattern(ref_s, 8), ref_ev)
     got_ours = _run_ours(_our_pattern(our_s, 8), our_ev)
     assert got_ours == got_ref
+
+
+def _ref_policy_imports():
+    from base.Pattern import Pattern as RefPattern
+    from base.PatternStructure import PrimitiveEventStructure, SeqOperator
+    from condition.Condition import TrueCondition
+    from misc.ConsumptionPolicy import ConsumptionPolicy as RefCP
+    from misc.SelectionStrategies import SelectionStrategies as RefSS
+    return RefPattern, PrimitiveEventStructure, SeqOperator, \
+        TrueCondition, RefCP, RefSS
+
+
+@pytest.mark.parametrize("strategy", ["single", "next"])
+@pytest.mark.parametrize("seed", range(4))
+def test_selection_strategies_match_reference(ref_engine, strategy,
+                                              seed):
+    """MATCH_SINGLE / MATCH_NEXT selection strategies on the V leaf:
+    exact match-set equality vs the reference on random streams."""
+    (RefPattern, Prim, SeqOp, TrueC, RefCP, RefSS) = _ref_policy_imports()
+    from opencep_ray import (ConsumptionPolicy, Pattern, Primitive,
+                             SelectionStrategy, Seq)
+
+    rng = random.Random(6200 + seed + (0 if strategy == "single" else 50))
+    spec = sorted((rng.randint(0, 14), rng.choice("VC"))
+                  for _ in range(10))
+    ref_ev, our_ev = _events(spec)
+    ref_ss = RefSS.MATCH_SINGLE if strategy == "single" \
+        else RefSS.MATCH_NEXT
+    our_ss = SelectionStrategy.MATCH_SINGLE if strategy == "single" \
+        else SelectionStrategy.MATCH_NEXT
+    # reference API: restricting "single" to specific types requires
+    # primary = MATCH_ANY (default) + the strategy as SECONDARY
+    # (misc/ConsumptionPolicy.py:55-74)
+    ref_p = RefPattern(SeqOp(Prim("V", "a"), Prim("C", "b")), TrueC(),
+                       timedelta(hours=8),
+                       consumption_policy=RefCP(
+                           single="V",
+                           secondary_selection_strategy=ref_ss))
+    our_p = Pattern(Seq(Primitive("V", "a"), Primitive("C", "b")),
+                    window=8 * 3600,
+                    consumption_policy=ConsumptionPolicy(
+                        single="V",
+                        secondary_selection_strategy=our_ss))
+    got_ref = ref_engine(ref_p, ref_ev)
+    got_ours = _run_ours(our_p, our_ev)
+    assert got_ours == got_ref
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_freeze_matches_reference(ref_engine, seed):
+    """Freeze policy: appearance of a C freezes new partial-match
+    creation until it is matched or expires — exact equality vs the
+    reference on random streams."""
+    (RefPattern, Prim, SeqOp, TrueC, RefCP, RefSS) = _ref_policy_imports()
+    from opencep_ray import ConsumptionPolicy, Pattern, Primitive, Seq
+
+    rng = random.Random(6900 + seed)
+    spec = sorted((rng.randint(0, 14), rng.choice("VC"))
+                  for _ in range(10))
+    ref_ev, our_ev = _events(spec)
+    ref_p = RefPattern(SeqOp(Prim("V", "a"), Prim("C", "b")), TrueC(),
+                       timedelta(hours=8),
+                       consumption_policy=RefCP(freeze="b"))
+    our_p = Pattern(Seq(Primitive("V", "a"), Primitive("C", "b")),
+                    window=8 * 3600,
+                    consumption_policy=ConsumptionPolicy(freeze="b"))
+    got_ref = ref_engine(ref_p, ref_ev)
+    got_ours = _run_ours(our_p, our_ev)
+    assert got_ours == got_ref
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_contiguity_matches_reference_on_pure_streams(ref_engine, seed):
+    """Strict contiguity (a, b adjacent in the input): ref-run on
+    streams containing ONLY pattern-relevant types, where our
+    relative-to-relevant-types adjacency and the reference's
+    global-arrival-counter adjacency coincide (the general-stream
+    difference is a documented divergence, COVERAGE.md §2.3)."""
+    (RefPattern, Prim, SeqOp, TrueC, RefCP, RefSS) = _ref_policy_imports()
+    from opencep_ray import ConsumptionPolicy, Pattern, Primitive, Seq
+
+    rng = random.Random(7300 + seed)
+    spec = sorted((rng.randint(0, 14), rng.choice("VC"))
+                  for _ in range(10))
+    ref_ev, our_ev = _events(spec)
+    ref_p = RefPattern(SeqOp(Prim("V", "a"), Prim("C", "b")), TrueC(),
+                       timedelta(hours=8),
+                       consumption_policy=RefCP(contiguous=["a", "b"]))
+    our_p = Pattern(Seq(Primitive("V", "a"), Primitive("C", "b")),
+                    window=8 * 3600,
+                    consumption_policy=ConsumptionPolicy(
+                        contiguous=["a", "b"]))
+    got_ref = ref_engine(ref_p, ref_ev)
+    got_ours = _run_ours(our_p, our_ev)
+    assert got_ours == got_ref
