@@ -466,3 +466,80 @@ def test_contiguity_matches_reference_on_pure_streams(ref_engine, seed):
     got_ref = ref_engine(ref_p, ref_ev)
     got_ours = _run_ours(our_p, our_ev)
     assert got_ours == got_ref
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_probabilistic_confidence_matches_reference(ref_engine, seed):
+    """Probabilistic streams: per-event probability from the data
+    formatter, match probability = joint product, matches below
+    Pattern.confidence dropped — exact match sets AND probabilities vs
+    the reference."""
+    import os
+    import sys
+    if "/root/reference" not in sys.path:     # fixture already added it
+        sys.path.insert(0, "/root/reference")
+    from base.DataFormatter import DataFormatter, EventTypeClassifier
+    from base.Pattern import Pattern as RefPattern
+    from base.PatternStructure import PrimitiveEventStructure, SeqOperator
+    from condition.Condition import TrueCondition
+    from stream.Stream import InputStream, OutputStream
+    from CEP import CEP as RefCEP
+
+    from opencep_ray import Pattern, Primitive, Seq, compile_patterns
+    from opencep_ray.evaluator import ConversationEvaluator
+
+    class TypeCls(EventTypeClassifier):
+        def get_event_type(self, payload):
+            return payload["type"]
+
+    class ProbFmt(DataFormatter):
+        def __init__(self):
+            super().__init__(TypeCls())
+
+        def parse_event(self, raw):
+            return dict(raw)
+
+        def get_event_timestamp(self, payload):
+            return payload["ts"]
+
+        def get_probability(self, payload):
+            return payload["p"]
+
+    class ListStream(InputStream):
+        def __init__(self, items):
+            super().__init__()
+            for it in items:
+                self._stream.put(it)
+            self.close()
+
+    rng = random.Random(8800 + seed)
+    spec = sorted((rng.randint(0, 12), rng.choice("VC"))
+                  for _ in range(10))
+    probs = [round(rng.uniform(0.3, 1.0), 3) for _ in spec]
+    ref_ev = [{"type": t, "ts": T0 + timedelta(hours=h), "id": i,
+               "p": probs[i]} for i, (h, t) in enumerate(spec)]
+    our_ev = [({"id": i}, t, int(h * 3600 * 1e6), probs[i])
+              for i, (h, t) in enumerate(spec)]
+
+    ref_p = RefPattern(SeqOperator(PrimitiveEventStructure("V", "a"),
+                                   PrimitiveEventStructure("C", "b")),
+                       TrueCondition(), timedelta(hours=8),
+                       confidence=0.5)
+    out = OutputStream()
+    RefCEP([ref_p]).run(ListStream(ref_ev), out, ProbFmt())
+    got_ref = sorted(
+        (tuple(sorted(e.payload["id"] for e in m.events)),
+         round(m.probability, 9))
+        for m in out if m is not None)
+
+    our_p = Pattern(Seq(Primitive("V", "a"), Primitive("C", "b")),
+                    window=8 * 3600, confidence=0.5)
+    ev = ConversationEvaluator(compile_patterns(our_p))
+    for payload, typ, ts, pr in our_ev:
+        ev.process(dict(payload), typ, ts, pr)
+    ev.eos()
+    got_ours = sorted(
+        (tuple(sorted(e.payload["id"] for _, e in pm.entries)),
+         round(pm.prob, 9))
+        for cp, pm in ev.matches)
+    assert got_ours == got_ref
