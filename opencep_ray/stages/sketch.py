@@ -365,3 +365,62 @@ def grouped_approx_distinct(ds: Dataset, key: str, col: str,
 
     return merged.groupby(key).map_groups(estimate,
                                           batch_format="pyarrow")
+
+
+def grouped_ddsketch_quantile(ds: Dataset, key: str, col: str, q: float,
+                              alpha: float = 0.01,
+                              out_col: str = "value") -> Dataset:
+    """Per-key approximate quantile — the scale path next to the exact
+    :func:`grouped_quantile` (which guards against raw continuous
+    columns): per-batch (key, store, bucket, count) DDSketch partials,
+    one ``groupby.sum`` merge, then a per-key vectorized estimate.
+    Returns a Dataset of (key, out_col); per-key state is O(buckets),
+    independent of rows and distinct values, so unlike the exact
+    variant nothing needs a cardinality guard."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile {q} outside [0, 1]")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lng = math.log(gamma)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        k = batch[key]
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        store = np.sign(x).astype(np.int64)
+        mag = np.abs(x)
+        idx = np.zeros(len(x), np.int64)
+        pos = ok & (mag > 0)
+        idx[pos] = np.ceil(np.log(mag[pos]) / lng).astype(np.int64)
+        t = pa.table({key: k, "_store": store, "_idx": idx,
+                      "_ok": ok})
+        return (pl.from_arrow(t).filter(pl.col("_ok"))
+                .group_by([key, "_store", "_idx"])
+                .agg(pl.len().cast(pl.Int64).alias("_n")).to_arrow())
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, "_store", "_idx"])
+              .aggregate(Sum("_n", alias_name="n")))
+
+    def estimate(group: pa.Table) -> pa.Table:
+        store = group["_store"].to_numpy(zero_copy_only=False)
+        idx = group["_idx"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        # ascending value order: store asc (-1, 0, 1), then idx*store —
+        # for negatives that is -idx, so larger magnitudes (more
+        # negative values) come first; for positives idx asc
+        order = np.lexsort((idx * store, store))
+        vals = np.where(
+            store[order] == 0, 0.0,
+            store[order] * 2.0 * gamma ** idx[order].astype(np.float64)
+            / (gamma + 1.0))
+        cum = np.cumsum(n[order])
+        rank = math.floor(q * (int(cum[-1]) - 1))
+        v = vals[int(np.searchsorted(cum, rank, side="right"))]
+        return pa.table({key: group[key].slice(0, 1),
+                         out_col: pa.array([float(v)], pa.float64())})
+
+    return merged.groupby(key).map_groups(estimate,
+                                          batch_format="pyarrow")

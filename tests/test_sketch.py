@@ -220,3 +220,31 @@ def test_hll_empty_and_validation(ray_session):
     assert approx_distinct(empty, "x") == 0
     with pytest.raises(ValueError, match="p must be"):
         approx_distinct(empty, "x", p=2)
+
+
+def test_grouped_ddsketch_relative_error(ray_session):
+    """Per-key DDSketch quantile within alpha relative error of the
+    exact per-key quantile, including negative and zero values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.sketch import grouped_ddsketch_quantile
+    rng = np.random.default_rng(23)
+    n = 120_000
+    keys = rng.integers(0, 5, n)
+    x = np.where(keys == 0, 0.0,
+                 rng.lognormal(0, 1.5, n) * np.where(keys % 2 == 0,
+                                                     -1.0, 1.0))
+    ds = rd.from_arrow(pa.table({"k": keys, "x": x})).repartition(6)
+    for q in (0.25, 0.5, 0.9):
+        got = {r["k"]: r["value"]
+               for r in grouped_ddsketch_quantile(ds, "k", "x", q,
+                                                  alpha=0.02).take_all()}
+        for k in range(5):
+            sub = np.sort(x[keys == k])
+            exact = sub[int(np.floor(q * (len(sub) - 1)))]
+            if exact == 0.0:
+                assert abs(got[k]) <= 1e-9
+            else:
+                assert abs(got[k] - exact) / abs(exact) <= 0.02 * 1.01, \
+                    (q, k, got[k], exact)
