@@ -27,6 +27,7 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -255,6 +256,20 @@ def ddsketch_quantiles(ds: Dataset, col: str, qs: Sequence[float],
                      "value": pa.array(out_v, pa.float64())})
 
 
+def _with_key_part(ds: Dataset, key: str, parts: int = 64) -> Dataset:
+    """Appends ``_kpart`` = deterministic hash partition of ``key`` —
+    the coarse-grouping column that lets per-key estimators run ONE
+    vectorized UDF per partition instead of one Python call per key
+    (UDF-invocation count O(parts), not O(|keys|))."""
+    from .split import keys_to_u64, mix64
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = mix64(keys_to_u64(t[key]), salt=0xA17)
+        return t.append_column(
+            "_kpart", pa.array((h % np.uint64(parts)).astype(np.int64)))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _hll_alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -357,14 +372,35 @@ def grouped_approx_distinct(ds: Dataset, key: str, col: str,
                   Max("_rho", alias_name="rho")))
 
     def estimate(group: pa.Table) -> pa.Table:
-        rhos = group["rho"].to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        e = int(round(_hll_estimate(rhos, m)))
-        return pa.table({key: group[key].slice(0, 1),
-                         out_col: pa.array([e], pa.int64())})
+        # one UDF call per COARSE key partition covering many keys
+        # (groupby below is on _kpart): run-length encode the
+        # key-sorted rows, vectorized per-run HLL estimator — no
+        # per-key Python, same shape as the LSH pair kernel
+        if group.num_rows == 0:
+            return pa.table({key: group[key].slice(0, 0),
+                             out_col: pa.array([], pa.int64())})
+        order = pc.sort_indices(group, sort_keys=[(key, "ascending")])
+        g = group.take(order)
+        kv = g[key].to_numpy(zero_copy_only=False)
+        rho = g["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(kv)
+        starts = np.flatnonzero(
+            np.concatenate([[True], kv[1:] != kv[:-1]]))
+        sizes = np.diff(np.append(starts, n))
+        zeros = (m - sizes).astype(np.float64)
+        s = np.add.reduceat(np.power(2.0, -rho), starts) + zeros
+        e = _hll_alpha(m) * m * m / s
+        corr = (e <= 2.5 * m) & (zeros > 0)   # small-range correction
+        if corr.any():
+            e = e.copy()
+            e[corr] = m * np.log(m / zeros[corr])
+        return pa.table({
+            key: g[key].take(pa.array(starts)),
+            out_col: pa.array(np.round(e).astype(np.int64))})
 
-    return merged.groupby(key).map_groups(estimate,
-                                          batch_format="pyarrow")
+    return (_with_key_part(merged, key)
+            .groupby("_kpart").map_groups(estimate,
+                                          batch_format="pyarrow"))
 
 
 def grouped_ddsketch_quantile(ds: Dataset, key: str, col: str, q: float,
@@ -405,22 +441,48 @@ def grouped_ddsketch_quantile(ds: Dataset, key: str, col: str, q: float,
               .aggregate(Sum("_n", alias_name="n")))
 
     def estimate(group: pa.Table) -> pa.Table:
+        # one UDF call per COARSE key partition: rows sorted by
+        # (key, value order), keys run-length encoded, the per-run rank
+        # selection done with reduceat index arithmetic — no per-key
+        # Python (same shape as the LSH pair kernel / HLL estimator)
+        if group.num_rows == 0:
+            return pa.table({key: group[key].slice(0, 0),
+                             out_col: pa.array([], pa.float64())})
+        kv0 = group[key].to_numpy(zero_copy_only=False)
         store = group["_store"].to_numpy(zero_copy_only=False)
         idx = group["_idx"].to_numpy(zero_copy_only=False)
-        n = group["n"].to_numpy(zero_copy_only=False)
-        # ascending value order: store asc (-1, 0, 1), then idx*store —
-        # for negatives that is -idx, so larger magnitudes (more
-        # negative values) come first; for positives idx asc
-        order = np.lexsort((idx * store, store))
+        cnt = group["n"].to_numpy(zero_copy_only=False)
+        # ascending value order WITHIN each key: store asc (-1, 0, 1),
+        # then idx*store — for negatives that is -idx, so larger
+        # magnitudes (more negative values) come first
+        order = np.lexsort((idx * store, store, kv0))
+        kv = kv0[order]
+        store = store[order]
+        idx = idx[order]
+        cnt = cnt[order]
         vals = np.where(
-            store[order] == 0, 0.0,
-            store[order] * 2.0 * gamma ** idx[order].astype(np.float64)
-            / (gamma + 1.0))
-        cum = np.cumsum(n[order])
-        rank = math.floor(q * (int(cum[-1]) - 1))
-        v = vals[int(np.searchsorted(cum, rank, side="right"))]
-        return pa.table({key: group[key].slice(0, 1),
-                         out_col: pa.array([float(v)], pa.float64())})
+            store == 0, 0.0,
+            store * 2.0 * gamma ** idx.astype(np.float64) / (gamma + 1.0))
+        n = len(kv)
+        starts = np.flatnonzero(
+            np.concatenate([[True], kv[1:] != kv[:-1]]))
+        sizes = np.diff(np.append(starts, n))
+        cum = np.cumsum(cnt)
+        run_prior = np.where(starts > 0, cum[starts - 1], 0)
+        within_cum = cum - np.repeat(run_prior, sizes)
+        totals = within_cum[starts + sizes - 1]
+        ranks = np.floor(q * (totals - 1)).astype(np.int64)
+        # first position in each run whose within-run cumulative count
+        # exceeds the run's target rank
+        mask = within_cum > np.repeat(ranks, sizes)
+        within_pos = np.arange(n) - np.repeat(starts, sizes)
+        cand = np.where(mask, within_pos, n)
+        first = np.minimum.reduceat(cand, starts)
+        sel = starts + first
+        return pa.table({
+            key: group[key].take(pa.array(order[sel])),
+            out_col: pa.array(vals[sel], pa.float64())})
 
-    return merged.groupby(key).map_groups(estimate,
-                                          batch_format="pyarrow")
+    return (_with_key_part(merged, key)
+            .groupby("_kpart").map_groups(estimate,
+                                          batch_format="pyarrow"))
