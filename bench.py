@@ -458,6 +458,11 @@ def run_scaling():
     # had one level dilated by the host relative to the other — its
     # wall ratio measures the box, not the engine.  Pairs are the
     # interleaved (lo_i, hi_i) runs, adjacent in time.
+    # SYMMETRIC rule: ratio > MAX means the hi level was dilated
+    # (efficiency understated); ratio < 1/MAX means the LO level was
+    # dilated (efficiency OVERSTATED — banking such a pair would be
+    # claiming the host's noise as speedup, the same trap as the
+    # round-3 quiet-box 1.31).  Both directions invalidate.
     BUSY_RATIO_MAX = 1.3
     pairs = []
     for i, (r_lo_i, r_hi_i) in enumerate(zip(runs_lo, runs_hi)):
@@ -466,18 +471,26 @@ def run_scaling():
         b_lo_i = r_lo_i.get("cep_stream_worker_busy_sec")
         b_hi_i = r_hi_i.get("cep_stream_worker_busy_sec")
         ratio = round(b_hi_i / b_lo_i, 3) if b_lo_i and b_hi_i else None
-        valid = ratio is not None and ratio <= BUSY_RATIO_MAX
+        valid = ratio is not None \
+            and 1.0 / BUSY_RATIO_MAX <= ratio <= BUSY_RATIO_MAX
+        if valid:
+            why = (f"busy ratio within [{round(1/BUSY_RATIO_MAX, 3)}, "
+                   f"{BUSY_RATIO_MAX}] — identical per-event work at "
+                   "both levels")
+        elif ratio is not None and ratio > BUSY_RATIO_MAX:
+            why = (f"busy ratio {ratio} > {BUSY_RATIO_MAX}: the "
+                   f"{hi}-cpu level was dilated relative to the "
+                   f"{lo}-cpu level; efficiency understated, measures "
+                   "the box")
+        else:
+            why = (f"busy ratio {ratio} < {round(1/BUSY_RATIO_MAX, 3)}: "
+                   f"the {lo}-cpu level was dilated; efficiency "
+                   "OVERSTATED, discarded")
         pairs.append({
             "pair": i, f"sec_{lo}": t_lo_i, f"sec_{hi}": t_hi_i,
             "efficiency": round((t_lo_i / t_hi_i) / (hi / lo), 3),
             f"busy_{lo}": b_lo_i, f"busy_{hi}": b_hi_i,
-            "busy_ratio": ratio, "valid": valid,
-            "why": ("busy ratio within "
-                    f"{BUSY_RATIO_MAX} — identical per-event work at "
-                    "both levels" if valid else
-                    f"busy ratio {ratio} > {BUSY_RATIO_MAX}: the "
-                    f"{hi}-cpu level was dilated relative to the "
-                    f"{lo}-cpu level; wall ratio measures the box")})
+            "busy_ratio": ratio, "valid": valid, "why": why})
     valid_pairs = [p for p in pairs if p["valid"]]
     best = max(valid_pairs, key=lambda p: p["efficiency"]) \
         if valid_pairs else None
