@@ -78,8 +78,11 @@ def exact_dedup_ids(ds: Dataset, col: str = "text",
 
 
 class _KeepMinIdRow:
-    """Group = one (content-hash, length) bucket: keep the min-id row per
-    DISTINCT text inside the bucket (hash collisions resolved exactly)."""
+    """Group = one COARSE content-hash partition holding many distinct
+    texts: keep the min-id row per DISTINCT text (exact — the polars
+    group_by is on the text itself, the hash only co-locates).  One UDF
+    call covers every text of the partition, so invocation count is
+    O(partitions), not O(distinct texts)."""
 
     def __init__(self, col: str, id_col: str):
         self.col = col
@@ -103,18 +106,23 @@ def exact_dedup_rows(ds: Dataset, col: str = "text",
     result at 100 TB is ≈ the corpus, so a broadcast semi-join would OOM
     the driver; see VERDICT r1).  Use :func:`exact_dedup_ids` when only
     ids are needed (it never shuffles text)."""
+    # coarse content-hash partition: same text ⇒ same masked hash ⇒ same
+    # group, and one vectorized keep-min call handles the whole
+    # partition's texts (invocations O(parts), not O(distinct texts))
+    parts = max(256, num_partitions * 8)
+
     def add_hash(batch: pa.Table) -> pa.Table:
         import polars as pl
         h = pl.from_arrow(batch[col]).hash(seed=7).reinterpret(signed=True)
         batch = batch.append_column("_h", h.to_arrow())
         return batch.append_column(
-            "_len", pc.cast(pc.utf8_length(batch[col]), pa.int64()))
+            "_hpart", pc.bit_wise_and(batch["_h"], parts - 1))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    deduped = (hashed.groupby(["_h", "_len"], num_partitions=num_partitions)
+    deduped = (hashed.groupby(["_hpart"], num_partitions=num_partitions)
                .map_groups(_KeepMinIdRow(col, id_col),
                            batch_format="pyarrow"))
-    return deduped.drop_columns(["_h", "_len"])
+    return deduped.drop_columns(["_h", "_hpart"])
 
 
 # ---------------------------------------------------------------------------

@@ -159,25 +159,75 @@ def _plan_sides(left, right, key, ts, left_cols, right_cols):
     return lu, ru, keys, l_names, r_names
 
 
+class _PerKeyRuns:
+    """Multi-key wrapper for the single-key merge kernels: the group is
+    a COARSE hash partition of the join key (many keys); rows are
+    sorted by the key columns once, then the wrapped kernel runs on a
+    zero-copy ``slice`` per key run.  Ray/UDF dispatch is O(partitions);
+    the per-key residue is one cheap Python iteration + ``pa.Table
+    .slice`` (no copies), with all timestamp work staying in the
+    kernel's vectorized numpy."""
+
+    def __init__(self, inner, n_keys: int, extra_keys=()):
+        self.inner = inner
+        self.n_keys = n_keys
+        self.extra_keys = list(extra_keys)
+        self.__name__ = inner.__name__
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return self.inner(group)
+        key_cols = [f"_k{i}" for i in range(self.n_keys)] \
+            + self.extra_keys
+        order = pc.sort_indices(
+            group, sort_keys=[(k, "ascending") for k in key_cols])
+        g = group.take(order)
+        key_arrs = [g[k].to_numpy(zero_copy_only=False)
+                    for k in key_cols]
+        outs = [self.inner(g.slice(s, e - s))
+                for s, e in _runs(np.arange(g.num_rows), key_arrs)]
+        return pa.concat_tables(outs) if outs else self.inner(group)
+
+
+def _key_part_column(n_keys: int, parts: int):
+    """map_batches fn appending ``_kpart`` = hash partition of the
+    composite (_k0.._kn) join key — all rows of one key co-locate."""
+    from .split import keys_to_u64, mix64
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, np.uint64)
+        for i in range(n_keys):
+            h ^= mix64(keys_to_u64(t[f"_k{i}"]), salt=0x517 + i)
+        return t.append_column(
+            "_kpart", pa.array((h % np.uint64(parts)).astype(np.int64)))
+    return fn
+
+
 def asof_join(left: Dataset, right: Dataset, key, ts: str,
               left_cols: Sequence[str], right_cols: Sequence[str],
               tolerance_us: Optional[int] = None, how: str = "inner",
-              num_partitions: int = 16) -> Dataset:
+              num_partitions: int = 16, key_parts: int = 256) -> Dataset:
     """For each left row, the latest right row with the same ``key``
     (one column name or a sequence for composite keys) and
     ``right.ts <= left.ts`` (ties: greatest ts, then greatest first
     right column).  Output: the key column(s) under their original
     names, ``ts`` (left, int64 µs), ``l_<c>`` for ``left_cols``,
-    ``r_<c>`` for ``right_cols``."""
+    ``r_<c>`` for ``right_cols``.
+
+    Exchange granularity: the shuffle groups on a COARSE hash partition
+    of the key (``key_parts`` groups), and one UDF call merges every
+    key of the partition (:class:`_PerKeyRuns`) — invocations
+    O(key_parts), not O(|keys|)."""
     assert how in ("inner", "left"), how
     lu, ru, keys, l_names, r_names = _plan_sides(left, right, key, ts,
                                                  left_cols, right_cols)
+    merge = _PerKeyRuns(_AsofMerge(keys, l_names, r_names,
+                                   tolerance_us, how), len(keys))
     return (lu.union(ru)
-            .groupby([f"_k{i}" for i in range(len(keys))],
-                     num_partitions=num_partitions)
-            .map_groups(_AsofMerge(keys, l_names, r_names,
-                                   tolerance_us, how),
-                        batch_format="pyarrow"))
+            .map_batches(_key_part_column(len(keys), key_parts),
+                         batch_format="pyarrow")
+            .groupby(["_kpart"], num_partitions=num_partitions)
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 class _RangeBucket:
@@ -273,12 +323,16 @@ def range_join(left: Dataset, right: Dataset, key, ts: str,
                         batch_format="pyarrow")
     rb = ru.map_batches(_RangeBucket(0, lo_us, hi_us, w),
                         batch_format="pyarrow")
-    return (lb.union(rb)
-            .groupby([f"_k{i}" for i in range(len(keys))] + ["_bkt"],
-                     num_partitions=num_partitions)
-            .map_groups(_RangeMerge(keys, l_names, r_names,
+    # coarse key-partition exchange + per-(key, bucket) run slices
+    # inside one UDF (see asof_join) — invocations O(key_parts)
+    merge = _PerKeyRuns(_RangeMerge(keys, l_names, r_names,
                                     lo_us, hi_us),
-                        batch_format="pyarrow"))
+                        len(keys), extra_keys=["_bkt"])
+    return (lb.union(rb)
+            .map_batches(_key_part_column(len(keys), 256),
+                         batch_format="pyarrow")
+            .groupby(["_kpart"], num_partitions=num_partitions)
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------

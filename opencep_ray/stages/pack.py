@@ -51,13 +51,34 @@ def _greedy_bounds(cum: np.ndarray, budget: int) -> np.ndarray:
 def greedy_pack(ds: Dataset, key: str, order: str, size: str,
                 budget: int, out_col: str = "shard_id") -> Dataset:
     """First-fit shard assignment per ``key`` in ``order``: documents
-    fill a shard while the total ``size`` stays within ``budget``."""
-    def pack_group(group: pa.Table) -> pa.Table:
-        idx = np.argsort(group[order].to_numpy(zero_copy_only=False),
-                         kind="stable")
-        g = group.take(pa.array(idx))
-        sizes = g[size].to_numpy(zero_copy_only=False)
-        shard = _greedy_bounds(np.cumsum(sizes), budget)
-        return g.append_column(out_col, pa.array(shard))
+    fill a shard while the total ``size`` stays within ``budget``.
 
-    return ds.groupby(key).map_groups(pack_group, batch_format="pyarrow")
+    Grouping is per COARSE key partition (stages/partition.py): one UDF
+    call sorts all its keys by (key, order) and walks each key run with
+    the O(#shards) searchsorted chain — Ray/UDF overhead O(parts), the
+    only per-key Python being the inherently sequential shard chain."""
+    import pyarrow.compute as pc
+
+    from .partition import with_key_part
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["_kpart"]).append_column(
+                out_col, pa.array([], pa.int64()))
+        idx = pc.sort_indices(group, sort_keys=[(key, "ascending"),
+                                                (order, "ascending")])
+        g = group.take(idx)
+        k = g[key].to_numpy(zero_copy_only=False)
+        sizes = g[size].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = np.flatnonzero(
+            np.concatenate([[True], k[1:] != k[:-1]]))
+        shard = np.empty(n, np.int64)
+        for s, e in zip(starts, np.append(starts[1:], n)):
+            shard[s:e] = _greedy_bounds(np.cumsum(sizes[s:e]), budget)
+        return g.drop_columns(["_kpart"]).append_column(
+            out_col, pa.array(shard))
+
+    return (with_key_part(ds, key)
+            .groupby("_kpart").map_groups(pack_group,
+                                          batch_format="pyarrow"))

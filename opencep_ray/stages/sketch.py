@@ -256,20 +256,6 @@ def ddsketch_quantiles(ds: Dataset, col: str, qs: Sequence[float],
                      "value": pa.array(out_v, pa.float64())})
 
 
-def _with_key_part(ds: Dataset, key: str, parts: int = 64) -> Dataset:
-    """Appends ``_kpart`` = deterministic hash partition of ``key`` —
-    the coarse-grouping column that lets per-key estimators run ONE
-    vectorized UDF per partition instead of one Python call per key
-    (UDF-invocation count O(parts), not O(|keys|))."""
-    from .split import keys_to_u64, mix64
-
-    def fn(t: pa.Table) -> pa.Table:
-        h = mix64(keys_to_u64(t[key]), salt=0xA17)
-        return t.append_column(
-            "_kpart", pa.array((h % np.uint64(parts)).astype(np.int64)))
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
 def _hll_alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -398,7 +384,8 @@ def grouped_approx_distinct(ds: Dataset, key: str, col: str,
             key: g[key].take(pa.array(starts)),
             out_col: pa.array(np.round(e).astype(np.int64))})
 
-    return (_with_key_part(merged, key)
+    from .partition import with_key_part
+    return (with_key_part(merged, key)
             .groupby("_kpart").map_groups(estimate,
                                           batch_format="pyarrow"))
 
@@ -483,6 +470,7 @@ def grouped_ddsketch_quantile(ds: Dataset, key: str, col: str, q: float,
             key: group[key].take(pa.array(order[sel])),
             out_col: pa.array(vals[sel], pa.float64())})
 
-    return (_with_key_part(merged, key)
+    from .partition import with_key_part
+    return (with_key_part(merged, key)
             .groupby("_kpart").map_groups(estimate,
                                           batch_format="pyarrow"))

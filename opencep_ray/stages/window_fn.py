@@ -201,8 +201,15 @@ def grouped_topk(ds: Dataset, key: str, val: str, k: int,
         return out.to_arrow().select(batch.column_names) \
             .cast(batch.schema)
 
+    # final merge runs the SAME multi-key polars kernel once per COARSE
+    # key partition (stages/partition.py) — UDF calls O(parts), not
+    # O(|keys|); each key is fully contained in its partition
+    from .partition import with_key_part
     pruned = ds.map_batches(local, batch_format="pyarrow")
-    return pruned.groupby(key).map_groups(local, batch_format="pyarrow")
+    out = (with_key_part(pruned, key)
+           .groupby("_kpart").map_groups(local, batch_format="pyarrow"))
+    return out.map_batches(lambda t: t.drop_columns(["_kpart"]),
+                           batch_format="pyarrow")
 
 
 def _boundary_tail(block, key: str, val: str, n: int):
@@ -403,13 +410,24 @@ def ordered_collect(ds: Dataset, key: str, order: Sequence[str],
         [frag.remote(r, i, key, col, sep) for i, r in enumerate(refs)])
 
     def merge(group: pa.Table) -> pa.Table:
-        idx = np.argsort(group["_blk"].to_numpy(zero_copy_only=False),
-                         kind="stable")
-        parts = group["_frag"].take(pa.array(idx)).to_pylist()
-        return pa.table({key: group[key].slice(0, 1),
-                         out_col: pa.array([sep.join(parts)])})
+        # multi-key merge per coarse partition: polars ordered group-join
+        # over (key, _blk)-sorted fragments — no per-key Python
+        import polars as pl
+        if group.num_rows == 0:
+            return pa.table({key: group[key].slice(0, 0),
+                             out_col: pa.array([], pa.string())})
+        df = (pl.from_arrow(group.select([key, "_blk", "_frag"]))
+              .sort([key, "_blk"])
+              .group_by(key, maintain_order=True)
+              .agg(pl.col("_frag").str.join(sep).alias(out_col)))
+        out = df.to_arrow()
+        return pa.table({key: pa.compute.cast(
+            out[key], group.schema.field(key).type),
+            out_col: pa.compute.cast(out[out_col], pa.string())})
 
-    return frags.groupby(key).map_groups(merge, batch_format="pyarrow")
+    from .partition import with_key_part
+    return (with_key_part(frags, key)
+            .groupby("_kpart").map_groups(merge, batch_format="pyarrow"))
 
 
 def _boundary_last_row(block, key: str, val: str):

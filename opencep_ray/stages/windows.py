@@ -93,8 +93,13 @@ def windowed_agg(ds: Dataset, size_s: float, hop_s: Optional[float] = None,
 
 
 class _SessionAssign:
-    """Per-key numpy session windowing: a new session starts when the gap
-    from the previous event exceeds ``gap_us``."""
+    """Multi-key numpy session windowing over a COARSE key partition:
+    rows are sorted by (key, ts) in one pass; a new session starts at
+    every key change or when the gap from the previous event exceeds
+    ``gap_us``; all per-session reductions run via reduceat on session
+    boundaries.  One UDF call handles every key of the partition — no
+    per-key Python (the groupby is on ``_kpart``, see
+    stages/partition.py)."""
 
     def __init__(self, gap_us: int, key_col: str, ts_col: str,
                  value_col: Optional[str]):
@@ -106,27 +111,37 @@ class _SessionAssign:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        ts = pc.cast(pc.cast(group[self.ts_col], pa.timestamp("us")),
+        if group.num_rows == 0:
+            out = {self.key_col: group[self.key_col].slice(0, 0),
+                   "session_start": pa.array([], pa.timestamp("us")),
+                   "session_end": pa.array([], pa.timestamp("us")),
+                   "n": pa.array([], pa.int64())}
+            if self.value_col:
+                out[f"sum_{self.value_col}"] = pa.array([], pa.float64())
+            return pa.table(out)
+        order = pc.sort_indices(
+            group, sort_keys=[(self.key_col, "ascending"),
+                              (self.ts_col, "ascending")])
+        g = group.take(order)
+        k = g[self.key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(g[self.ts_col], pa.timestamp("us")),
                      pa.int64()).to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
         new_session = np.empty(len(ts), dtype=bool)
         new_session[0] = True
         np.greater(np.diff(ts), self.gap_us, out=new_session[1:])
-        sid = np.cumsum(new_session) - 1
-        # per-session reduction via reduceat on session boundaries
+        new_session[1:] |= k[1:] != k[:-1]
         starts = np.flatnonzero(new_session)
         n = np.diff(np.append(starts, len(ts)))
         session_start = ts[starts]
         session_end = ts[np.append(starts[1:] - 1, len(ts) - 1)]
         out = {
-            self.key_col: [group[self.key_col][0].as_py()] * len(starts),
+            self.key_col: g[self.key_col].take(pa.array(starts)),
             "session_start": pa.array(session_start, pa.timestamp("us")),
             "session_end": pa.array(session_end, pa.timestamp("us")),
             "n": pa.array(n, pa.int64()),
         }
         if self.value_col:
-            v = group[self.value_col].to_numpy(zero_copy_only=False)[order]
+            v = g[self.value_col].to_numpy(zero_copy_only=False)
             out[f"sum_{self.value_col}"] = pa.array(
                 np.add.reduceat(v, starts), pa.float64())
         return pa.table(out)
@@ -134,9 +149,13 @@ class _SessionAssign:
 
 def session_windows(ds: Dataset, gap_s: float, key_col: str,
                     ts_col: str = "ts",
-                    value_col: Optional[str] = None) -> Dataset:
-    """Gap-based session windows per key: one hash shuffle, vectorized
-    assignment per group."""
+                    value_col: Optional[str] = None,
+                    key_parts: int = 64) -> Dataset:
+    """Gap-based session windows per key: one hash shuffle on a coarse
+    key partition, then ONE vectorized multi-key assignment per
+    partition (UDF calls O(key_parts), not O(|keys|))."""
+    from .partition import with_key_part
     fn = _SessionAssign(int(gap_s * 1_000_000), key_col, ts_col, value_col)
-    return ds.groupby(key_col, num_partitions=32).map_groups(
-        fn, batch_format="pyarrow")
+    return (with_key_part(ds, key_col, parts=key_parts)
+            .groupby("_kpart", num_partitions=32)
+            .map_groups(fn, batch_format="pyarrow"))
