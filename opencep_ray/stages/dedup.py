@@ -460,62 +460,6 @@ class _ShingleSets:
         })
 
 
-class _AttachShingles:
-    """Group = one doc id's rows: exactly one shingle row (from docs) plus
-    zero or more pair-reference rows; emits (pair, side, shingles)."""
-
-    def __init__(self, id_col: str):
-        self.id_col = id_col
-        self.__name__ = "AttachShingles"
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        sh_rows = group.filter(pc.is_valid(group["_sh"]))
-        refs = group.filter(pc.is_null(group["_sh"]))
-        empty = pa.table({"_pa": pa.array([], pa.int64()),
-                          "_pb": pa.array([], pa.int64()),
-                          "_side": pa.array([], pa.int8()),
-                          "_sh": pa.array([], pa.list_(pa.int64()))})
-        if sh_rows.num_rows == 0 or refs.num_rows == 0:
-            return empty
-        sh = sh_rows["_sh"][0]
-        doc = sh_rows[self.id_col][0]
-        side = pc.cast(pc.equal(refs["_pb"], doc), pa.int8())
-        return pa.table({"_pa": refs["_pa"], "_pb": refs["_pb"],
-                         "_side": side,
-                         "_sh": pa.array([sh.as_py()] * refs.num_rows,
-                                         pa.list_(pa.int64()))})
-
-
-class _PairJaccard:
-    """Group = one candidate pair's two sides → exact Jaccard."""
-
-    def __init__(self, threshold: float):
-        self.threshold = threshold
-        self.__name__ = "PairJaccard"
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
-        if group.num_rows != 2:
-            return empty  # a side was missing from the docs table
-        sides = group["_side"].to_pylist()
-        if sorted(sides) != [0, 1]:
-            return empty
-        sh = group["_sh"].to_pylist()
-        a = np.asarray(sh[0], dtype=np.int64)
-        b = np.asarray(sh[1], dtype=np.int64)
-        inter = len(np.intersect1d(a, b, assume_unique=True))
-        union = len(a) + len(b) - inter
-        jac = inter / union if union else 0.0
-        if jac < self.threshold:
-            return empty
-        return pa.table({
-            "id_a": pa.array([group["_pa"][0].as_py()], pa.int64()),
-            "id_b": pa.array([group["_pb"][0].as_py()], pa.int64()),
-            "jaccard": pa.array([jac], pa.float64())})
-
-
 def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
                    id_col: str = "doc_id", shingle_k: int = 3,
                    threshold: float = 0.5,
@@ -554,12 +498,89 @@ def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
     # reorder ref columns to the shingle schema for the union
     refs = refs.select_columns([id_col, "_sh", "_pa", "_pb"])
     shingles = shingles.select_columns([id_col, "_sh", "_pa", "_pb"])
-    attached = (shingles.union(refs)
-                .groupby(id_col, num_partitions=num_partitions)
-                .map_groups(_AttachShingles(id_col),
-                            batch_format="pyarrow"))
-    return (attached.groupby(["_pa", "_pb"], num_partitions=num_partitions)
-            .map_groups(_PairJaccard(threshold), batch_format="pyarrow"))
+
+    # both groupbys run on COARSE hash partitions (stages/partition.py
+    # rationale) with one vectorized polars pass per partition — UDF
+    # invocations O(parts), not O(docs) / O(pairs)
+
+    def attach_vec(group: pa.Table) -> pa.Table:
+        """Multi-doc attach: a polars inner join of the partition's pair
+        references with its shingle rows (replaces the per-doc group)."""
+        import polars as pl
+        df = pl.from_arrow(group.select([id_col, "_sh", "_pa", "_pb"]))
+        sh = (df.filter(pl.col("_sh").is_not_null())
+              .select(id_col, "_sh").unique(subset=[id_col]))
+        rf = df.filter(pl.col("_sh").is_null()).select(id_col, "_pa",
+                                                       "_pb")
+        j = rf.join(sh, on=id_col, how="inner").with_columns(
+            (pl.col("_pb") == pl.col(id_col)).cast(pl.Int8)
+            .alias("_side"))
+        out = j.select("_pa", "_pb", "_side", "_sh").to_arrow()
+        return pa.table({
+            "_pa": pc.cast(out["_pa"], pa.int64()),
+            "_pb": pc.cast(out["_pb"], pa.int64()),
+            "_side": pc.cast(out["_side"], pa.int8()),
+            "_sh": pc.cast(out["_sh"], pa.list_(pa.int64()))})
+
+    def pair_jac_vec(group: pa.Table) -> pa.Table:
+        """Multi-pair exact Jaccard: valid pairs (both sides present)
+        explode their shingle lists once; the intersection is the count
+        of shingles seen on both sides, the union n_a + n_b − inter —
+        all polars group aggregations, no per-pair Python."""
+        import polars as pl
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if group.num_rows == 0:
+            return empty
+        df = pl.from_arrow(group.select(["_pa", "_pb", "_side", "_sh"]))
+        stats = (df.group_by(["_pa", "_pb"])
+                 .agg(pl.len().alias("_rows"),
+                      pl.col("_side").n_unique().alias("_ns"),
+                      pl.col("_sh").list.len().sum().alias("_tot")))
+        valid = stats.filter((pl.col("_rows") == 2)
+                             & (pl.col("_ns") == 2))
+        if valid.height == 0:
+            return empty
+        dfv = df.join(valid.select("_pa", "_pb"), on=["_pa", "_pb"],
+                      how="inner")
+        inter = (dfv.select("_pa", "_pb", "_sh").explode("_sh")
+                 .group_by(["_pa", "_pb", "_sh"])
+                 .agg(pl.len().alias("_c"))
+                 .group_by(["_pa", "_pb"])
+                 .agg((pl.col("_c") == 2).sum().cast(pl.Int64)
+                      .alias("_inter")))
+        res = (valid.join(inter, on=["_pa", "_pb"], how="left")
+               .with_columns(pl.col("_inter").fill_null(0))
+               .with_columns(
+                   pl.when(pl.col("_tot") - pl.col("_inter") > 0)
+                   .then(pl.col("_inter")
+                         / (pl.col("_tot") - pl.col("_inter")))
+                   .otherwise(0.0).alias("jaccard"))
+               .filter(pl.col("jaccard") >= threshold)
+               .select("_pa", "_pb", "jaccard"))
+        out = res.to_arrow()
+        return pa.table({"id_a": pc.cast(out["_pa"], pa.int64()),
+                         "id_b": pc.cast(out["_pb"], pa.int64()),
+                         "jaccard": pc.cast(out["jaccard"],
+                                            pa.float64())})
+
+    from .partition import with_key_part
+    attached = (with_key_part(shingles.union(refs), id_col,
+                              parts=max(256, num_partitions * 8))
+                .groupby("_kpart", num_partitions=num_partitions)
+                .map_groups(attach_vec, batch_format="pyarrow"))
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        from .split import keys_to_u64, mix64
+        h = mix64(keys_to_u64(t["_pa"]), salt=0x9A1) \
+            ^ mix64(keys_to_u64(t["_pb"]), salt=0x9A2)
+        return t.append_column(
+            "_ppart", pa.array((h % np.uint64(256)).astype(np.int64)))
+
+    return (attached.map_batches(pair_part, batch_format="pyarrow")
+            .groupby("_ppart", num_partitions=num_partitions)
+            .map_groups(pair_jac_vec, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -652,45 +673,73 @@ def simhash_candidates(ds: Dataset, col: str = "text",
                          "band_hash": pa.array(bh.reshape(-1)),
                          "simhash": pa.array(np.tile(s, 4))})
 
-    class _HamPairs:
+    class _HamPairsVec:
+        """One UDF per (band, hash-partition) group covering MANY
+        buckets (same shape as :class:`_BucketPairsVec`): run-length
+        encode buckets from (band_hash, id)-sorted rows, expand i<j
+        pairs via index arithmetic, then one vectorized xor-popcount
+        pass filters by Hamming distance."""
+
         def __init__(self):
             self.__name__ = "HamPairs"
 
+        def _empty(self) -> pa.Table:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int32())})
+
         def __call__(self, group: pa.Table) -> pa.Table:
+            n = group.num_rows
+            if n == 0:
+                return self._empty()
+            bh = group["band_hash"].to_numpy(zero_copy_only=False)
             ids = group[id_col].to_numpy(zero_copy_only=False)
             sigs = group["simhash"].to_numpy(zero_copy_only=False) \
                 .astype(np.uint64)
-            m = len(ids)
-            if m > max_bucket:
+            order = np.lexsort((ids, bh))
+            bh, ids, sigs = bh[order], ids[order], sigs[order]
+            run_start = np.flatnonzero(
+                np.concatenate([[True], bh[1:] != bh[:-1]]))
+            sizes = np.diff(np.append(run_start, n))
+            big = sizes > max_bucket
+            for m in sizes[big]:
                 logger.warning(
                     "simhash: dropping bucket of %d docs (> cap %d)",
                     m, max_bucket)
-                m = 0
-            if m > 1:
-                order = np.argsort(ids, kind="stable")
-                ids_s, sigs_s = ids[order], sigs[order]
-                i, j = np.triu_indices(m, k=1)
-                keep = ids_s[i] != ids_s[j]
-                i, j = i[keep], j[keep]
-                # vectorized popcount of the pairwise xors (byte LUT)
-                xors = (sigs_s[i] ^ sigs_s[j]).view(np.uint8) \
-                    .reshape(-1, 8)
-                d = _POPCOUNT8[xors].sum(axis=1).astype(np.int32)
-                sel = d <= max_hamming
-                a_out = ids_s[i[sel]]
-                b_out = ids_s[j[sel]]
-                d_out = d[sel]
-            else:
-                a_out = b_out = np.array([], dtype=np.int64)
-                d_out = np.array([], dtype=np.int32)
-            return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                             "id_b": pa.array(b_out, pa.int64()),
-                             "hamming": pa.array(d_out, pa.int32())})
+            keep = (sizes >= 2) & ~big
+            if not keep.any():
+                return self._empty()
+            ks, kz = run_start[keep], sizes[keep]
+            total = int(kz.sum())
+            seg_off = np.repeat(np.cumsum(kz) - kz, kz)
+            within = np.arange(total) - seg_off
+            pos = np.repeat(ks, kz) + within
+            reps = np.repeat(kz, kz) - 1 - within
+            pair_total = int(reps.sum())
+            if pair_total == 0:
+                return self._empty()
+            left = np.repeat(np.arange(total), reps)
+            lstart = np.repeat(np.cumsum(reps) - reps, reps)
+            right = left + (np.arange(pair_total) - lstart + 1)
+            pi, pj = pos[left], pos[right]
+            ok = ids[pi] != ids[pj]      # defensive: dup rows in bucket
+            pi, pj = pi[ok], pj[ok]
+            xors = (sigs[pi] ^ sigs[pj]).view(np.uint8).reshape(-1, 8)
+            d = _POPCOUNT8[xors].sum(axis=1).astype(np.int32)
+            sel = d <= max_hamming
+            return pa.table({"id_a": pa.array(ids[pi[sel]], pa.int64()),
+                             "id_b": pa.array(ids[pj[sel]], pa.int64()),
+                             "hamming": pa.array(d[sel], pa.int32())})
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    pairs = (exploded.groupby(["band", "band_hash"],
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bh_part", pc.bit_wise_and(t["band_hash"], 255))
+
+    exploded = (sigs.map_batches(explode, batch_format="pyarrow")
+                .map_batches(part, batch_format="pyarrow"))
+    pairs = (exploded.groupby(["band", "_bh_part"],
                               num_partitions=num_partitions)
-             .map_groups(_HamPairs(), batch_format="pyarrow"))
+             .map_groups(_HamPairsVec(), batch_format="pyarrow"))
     return pairs.groupby(["id_a", "id_b"],
                          num_partitions=num_partitions).aggregate(
         Min("hamming", alias_name="hamming"))
