@@ -1760,6 +1760,30 @@ def stats_quantiles_approx(sf_dir):
                               alpha=0.01)
 
 
+def doc_chunks(sf_dir):
+    """Fixed-token-window document chunking with overlap (chunk 32
+    tokens, overlap 8 — stride 24): the standard pre-training step
+    between curation and shard packing, as a pure vectorized flat map
+    (`stages/text.py:ChunkDocuments` — polars split → int_ranges →
+    explode → list slice/join; no shuffle, no state).  SQL-parity
+    semantics: whitespace token boundaries, short last chunk, one empty
+    chunk for empty text."""
+    from ..stages.text import ChunkDocuments
+    docs = _documents(sf_dir)
+    return docs.map_batches(ChunkDocuments(chunk_tokens=32, overlap=8),
+                            batch_format="pyarrow")
+
+
+DOC_CHUNKS_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+st AS (SELECT doc_id, t, n, unnest(range(0, n, 24)) AS s FROM n)
+SELECT doc_id, (s // 24)::BIGINT AS chunk_idx,
+       array_to_string(t[s + 1 : least(s + 32, n)], ' ') AS chunk
+FROM st
+"""
+
+
 def stats_distinct_approx(sf_dir):
     """Per-source approximate distinct document counts via HyperLogLog
     (`stages/sketch.py:grouped_approx_distinct` — per-batch sparse
@@ -2074,6 +2098,7 @@ QUERIES = {
     "stats_quantiles": stats_quantiles,
     "stats_quantiles_approx": stats_quantiles_approx,  # new round 4
     "stats_distinct_approx": stats_distinct_approx,    # new round 4
+    "doc_chunks": doc_chunks,                          # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2087,7 +2112,6 @@ QUERIES = {
     "transcripts_session": transcripts_session,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
-    "dedup_embedding": dedup_embedding,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_cc": dedup_minhash_cc,
     "dedup_simhash": dedup_simhash,
@@ -2134,6 +2158,7 @@ QUERIES = {
     "cep_transcripts_negation": cep_transcripts_negation,
     "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
     "text_fingerprint": text_fingerprint,  # 3 green rounds (r01-r03)
+    "dedup_embedding": dedup_embedding,    # 3 green rounds (r01-r03)
 }
 
 ORACLES = {
@@ -2193,6 +2218,7 @@ ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "stats_quantiles": STATS_QUANTILES_SQL,
     "stats_heavy_hitters": STATS_HH_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

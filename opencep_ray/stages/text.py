@@ -457,3 +457,52 @@ class Fingerprint:
                for t in batch[self.col].to_pylist()]
         return batch.append_column(self.out_col,
                                    pa.array(np.array(fps, dtype=np.uint64)))
+
+
+class ChunkDocuments:
+    """Fixed-token-window document chunking with overlap — the standard
+    pre-training preprocessing step between curation and shard packing:
+    each document becomes ``ceil(n_tokens / stride)`` rows of
+    ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride = chunk_tokens − overlap).  Pure
+    per-batch vectorized polars (split → int_ranges → explode → list
+    slice/join); SQL-parity semantics: token boundaries only, the last
+    chunk may be short, an empty text yields one empty chunk (DuckDB
+    ``string_split`` gives [''] for '').
+
+    Scale shape: an embarrassingly-parallel flat map — no shuffle, no
+    state; output row count ≈ rows x n_tokens / stride."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id",
+                 chunk_tokens: int = 128, overlap: int = 0,
+                 out_col: str = "chunk"):
+        if chunk_tokens <= 0:
+            raise ValueError("chunk_tokens must be positive")
+        if not 0 <= overlap < chunk_tokens:
+            raise ValueError("overlap must be in [0, chunk_tokens)")
+        self.col = col
+        self.id_col = id_col
+        self.chunk_tokens = chunk_tokens
+        self.stride = chunk_tokens - overlap
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select([self.id_col, self.col]))
+        out = (df.with_columns(
+            pl.col(self.col).cast(pl.String).fill_null("")
+            .str.split(" ").alias("_t"))
+            .with_columns(pl.col("_t").list.len().alias("_n"))
+            .with_columns(pl.int_ranges(0, pl.col("_n"), self.stride)
+                          .alias("_s"))
+            .explode("_s")
+            .with_columns(
+                (pl.col("_s") // self.stride).alias("chunk_idx"),
+                pl.col("_t").list.slice(pl.col("_s"), self.chunk_tokens)
+                .list.join(" ").alias(self.out_col))
+            .select(self.id_col, "chunk_idx", self.out_col))
+        t = out.to_arrow()
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "chunk_idx": pc.cast(t["chunk_idx"], pa.int64()),
+            self.out_col: pc.cast(t[self.out_col], pa.string())})

@@ -475,3 +475,20 @@ def test_bucket_pairs_vec_equals_per_bucket():
         got = list(zip(got_t["id_a"].to_pylist(),
                        got_t["id_b"].to_pylist()))
         assert sorted(got) == sorted(base), trial
+
+
+def test_chunk_documents_hand_values_and_validation():
+    from opencep_ray.stages.text import ChunkDocuments
+    import pytest
+    stage = ChunkDocuments(chunk_tokens=8, overlap=4)
+    out = stage(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                          "text": ["a b c d e f g h i j", "x y", ""]}))
+    rows = sorted(zip(out["doc_id"].to_pylist(),
+                      out["chunk_idx"].to_pylist(),
+                      out["chunk"].to_pylist()))
+    assert rows == [(1, 0, "a b c d e f g h"), (1, 1, "e f g h i j"),
+                    (1, 2, "i j"), (2, 0, "x y"), (3, 0, "")]
+    with pytest.raises(ValueError, match="overlap"):
+        ChunkDocuments(chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        ChunkDocuments(chunk_tokens=0)
