@@ -1784,6 +1784,50 @@ FROM st
 """
 
 
+def decontaminate(sf_dir):
+    """Benchmark decontamination: flag every document sharing ANY
+    lowercase whitespace 3-gram with a deterministic "benchmark" subset
+    (doc_id % 97 == 0 — a stand-in eval set).  The benchmark gram set
+    broadcasts once via ``ray.put`` (loud cap) and every batch takes
+    one vectorized semi-join — the corpus never shuffles
+    (`stages/text.py:Decontaminate`).  Exact raw-gram comparison, so
+    the DuckDB oracle reproduces it verbatim."""
+    import ray
+    from ..stages.text import Decontaminate, build_benchmark_grams
+    docs = _documents(sf_dir)
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero(ids % 97 == 0)))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    grams = build_benchmark_grams(bench, k=3)
+    # actor pool: the gram set is fetched once per actor in __init__
+    return docs.map_batches(Decontaminate, batch_format="pyarrow",
+                            fn_constructor_args=(ray.put(grams),),
+                            concurrency=(1, 8))
+
+
+DECONTAMINATE_SQL = """
+WITH g AS (
+  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN n < 3 THEN lt
+              ELSE array_to_string(t[i + 1 : i + 3], ' ') END AS gram
+  FROM g, unnest(range(0, greatest(n - 2, 1))) AS u(i)
+  WHERE n >= 3 OR i = 0),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+SELECT d.doc_id AS doc_id,
+       EXISTS (SELECT 1 FROM grams x JOIN bench b ON x.gram = b.gram
+               WHERE x.doc_id = d.doc_id) AS contaminated
+FROM documents d
+"""
+
+
 def stats_distinct_approx(sf_dir):
     """Per-source approximate distinct document counts via HyperLogLog
     (`stages/sketch.py:grouped_approx_distinct` — per-batch sparse
@@ -2099,6 +2143,7 @@ QUERIES = {
     "stats_quantiles_approx": stats_quantiles_approx,  # new round 4
     "stats_distinct_approx": stats_distinct_approx,    # new round 4
     "doc_chunks": doc_chunks,                          # new round 4
+    "decontaminate": decontaminate,                    # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2133,7 +2178,6 @@ QUERIES = {
     "filter_quality_quantile": filter_quality_quantile,
     "doc_top_term": doc_top_term,
     "text_quality": text_quality,
-    "text_langid": text_langid,
     "text_redact": text_redact,
     "text_repetition": text_repetition,
     "ann_topk": ann_topk,
@@ -2159,6 +2203,7 @@ QUERIES = {
     "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
     "text_fingerprint": text_fingerprint,  # 3 green rounds (r01-r03)
     "dedup_embedding": dedup_embedding,    # 3 green rounds (r01-r03)
+    "text_langid": text_langid,            # 3 green rounds (r01-r03)
 }
 
 ORACLES = {
@@ -2219,6 +2264,7 @@ ORACLES = {
     "stats_quantiles": STATS_QUANTILES_SQL,
     "stats_heavy_hitters": STATS_HH_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

@@ -506,3 +506,107 @@ class ChunkDocuments:
             self.id_col: t[self.id_col],
             "chunk_idx": pc.cast(t["chunk_idx"], pa.int64()),
             self.out_col: pc.cast(t[self.out_col], pa.string())})
+
+
+def _gram_strings(df, col: str, k: int):
+    """polars frame (doc_id?, _g) of whitespace ``k``-gram STRINGS per
+    row of ``df[col]`` (lowercased); rows shorter than ``k`` tokens
+    contribute their whole text as the single gram — the same short-doc
+    rule as the MinHash shingles, and expressible in SQL."""
+    import polars as pl
+    ex = (df.with_columns(
+        pl.col(col).cast(pl.String).fill_null("")
+        .str.to_lowercase().alias("_lt"))
+        .with_columns(pl.col("_lt").str.split(" ").alias("_t"))
+        .with_columns(pl.col("_t").list.len().alias("_n"),
+                      pl.int_range(0, pl.len()).alias("_row"))
+        .explode("_t"))
+    if k > 1:
+        shifted = [pl.col("_t").shift(-i).over("_row").alias(f"_s{i}")
+                   for i in range(1, k)]
+        ex = ex.with_columns(shifted)
+        gram = pl.concat_str(
+            [pl.col("_t")] + [pl.col(f"_s{i}") for i in range(1, k)],
+            separator=" ")
+    else:
+        gram = pl.col("_t")
+    gram = pl.when(pl.col("_n") < k).then(pl.col("_lt")).otherwise(gram)
+    return (ex.with_columns(gram.alias("_g")).drop_nulls("_g")
+            .drop("_lt", "_t", "_n",
+                  *(f"_s{i}" for i in range(1, k))))
+
+
+def build_benchmark_grams(bench_docs, *, col: str = "text", k: int = 3,
+                          max_grams: int = 10_000_000) -> pa.Table:
+    """Materialize the DISTINCT ``k``-gram strings of a (small)
+    benchmark/eval corpus for a decontamination broadcast — with a loud
+    cap: above ``max_grams`` raise instead of silently broadcasting an
+    unbounded set (house style of the LSH/vocabulary caps)."""
+    import polars as pl
+    import ray.data  # noqa: F401  (Dataset duck-typing below)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([col]))
+        out = _gram_strings(df, col, k).select("_g").unique()
+        return pa.table({"_g": pc.cast(out.to_arrow()["_g"],
+                                       pa.string())})
+
+    from ray.data.aggregate import Count
+    grams = (bench_docs.map_batches(partial, batch_format="pyarrow")
+             .groupby("_g").aggregate(Count(alias_name="_c"))
+             .materialize())
+    n = grams.count()
+    if n > max_grams:
+        raise ValueError(
+            f"benchmark gram set has {n} grams, above max_grams="
+            f"{max_grams} — decontamination broadcasts this set to "
+            "every actor; shrink the benchmark or raise the cap.")
+    tbl = pa.Table.from_pandas(grams.to_pandas(), preserve_index=False)
+    return tbl.select(["_g"])
+
+
+class Decontaminate:
+    """Benchmark decontamination: flags every document sharing ANY
+    whitespace ``k``-gram with a broadcast benchmark gram set — the
+    standard guard against eval-set leakage into training data.  The
+    benchmark side ships ONCE per actor via ``ray.put``
+    (:func:`build_benchmark_grams`); each batch explodes its documents'
+    grams and takes one vectorized polars semi-join — the corpus never
+    shuffles.  Raw gram STRINGS (not hashes) keep the check exact and
+    SQL-oracle-able; at open-web scale swap the broadcast payload for
+    the 64-bit gram hashes (same pipeline shape, documented
+    false-positive rate)."""
+
+    def __init__(self, grams_ref, col: str = "text",
+                 id_col: str = "doc_id", k: int = 3,
+                 out_col: str = "contaminated"):
+        self.grams_ref = grams_ref
+        self.col = col
+        self.id_col = id_col
+        self.k = k
+        self.out_col = out_col
+        self._bench = None
+
+    def _bench_frame(self):
+        if self._bench is None:
+            import polars as pl
+            import ray
+            tbl = ray.get(self.grams_ref) \
+                if not isinstance(self.grams_ref, pa.Table) \
+                else self.grams_ref
+            self._bench = pl.from_arrow(tbl).with_columns(
+                pl.col("_g").cast(pl.String))
+        return self._bench
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select([self.id_col, self.col]))
+        grams = _gram_strings(df, self.col, self.k)
+        hit = (grams.join(self._bench_frame(), on="_g", how="semi")
+               .select(self.id_col).unique())
+        # order-safe flag: membership test against the hit set (a left
+        # join would depend on polars' join-order guarantees)
+        flag = df[self.id_col].is_in(hit[self.id_col])
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            self.out_col: pa.array(flag.to_numpy(), pa.bool_())})

@@ -492,3 +492,31 @@ def test_chunk_documents_hand_values_and_validation():
         ChunkDocuments(chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="chunk_tokens"):
         ChunkDocuments(chunk_tokens=0)
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Docs sharing a 3-gram with the benchmark are flagged; short docs
+    use the whole-text rule; clean docs pass."""
+    import ray
+    import ray.data as rd
+    from opencep_ray.stages.text import (Decontaminate,
+                                         build_benchmark_grams)
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": ["the quick brown fox jumps"]}))
+    grams = build_benchmark_grams(bench, k=3)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["we saw the quick brown dog",   # shares "the quick brown"
+                 "completely unrelated text here",
+                 "quick brown",                  # short doc, no whole match
+                 "the quick brown fox jumps"]})  # full overlap
+    stage = Decontaminate(grams)
+    out = stage(docs)
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["contaminated"].to_pylist()))
+    assert got == {1: True, 2: False, 3: False, 4: True}
+    # gram-set cap is loud
+    import pytest
+    with pytest.raises(ValueError, match="max_grams"):
+        build_benchmark_grams(bench, k=3, max_grams=1)
