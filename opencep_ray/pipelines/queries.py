@@ -2002,25 +2002,45 @@ SELECT doc_id, quality_score FROM scored WHERE quality_score >= 0.4
 def curate_split_sink(sf_dir):
     """The full preprocessing job a training-data user runs end-to-end,
     composed from this repo's stages in ONE streaming pipeline: exact
-    dedup (winner inside the shuffle) → quality filter → deterministic
-    train/val/test split → resumable partitioned sink → read back only
-    the complete partitions.  Verifies the COMPOSITION: every row that
-    should survive does, exactly once, with the right split, through an
-    actual on-disk sink round-trip."""
+    dedup (winner inside the shuffle) → quality filter → benchmark
+    DECONTAMINATION (broadcast eval-gram set, added round 4) →
+    deterministic train/val/test split → resumable partitioned sink →
+    read back only the complete partitions.  Verifies the COMPOSITION:
+    every row that should survive does, exactly once, with the right
+    split, through an actual on-disk sink round-trip."""
     import shutil
     import pyarrow.compute as _pc
+    import ray
     from ..stages.dedup import exact_dedup_rows
     from ..stages.sink import read_partitioned, resumable_write_parquet
     from ..stages.split import hash_split
-    from ..stages.text import QualityScore
+    from ..stages.text import (Decontaminate, QualityScore,
+                               build_benchmark_grams)
     root = ("/tmp/graft_synth/curate_sink_"
             f"{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(root, ignore_errors=True)
-    kept = exact_dedup_rows(_documents(sf_dir))
+    docs = _documents(sf_dir)
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.flatnonzero(ids % 97 == 0)))
+
+    grams_ref = ray.put(build_benchmark_grams(
+        docs.map_batches(bench_filter, batch_format="pyarrow"), k=3))
+    kept = exact_dedup_rows(docs)
     scored = (kept.map_batches(QualityScore(), batch_format="pyarrow")
               .map_batches(lambda t: t.filter(
                   _pc.greater_equal(t["quality_score"], 0.4)),
                   batch_format="pyarrow"))
+    # drop contaminated docs: flag via the broadcast gram set, filter
+    decon = Decontaminate(grams_ref)
+
+    def drop_contaminated(t: pa.Table) -> pa.Table:
+        flags = decon(t)["contaminated"]
+        return t.filter(_pc.invert(flags.combine_chunks()))
+
+    scored = scored.map_batches(drop_contaminated, batch_format="pyarrow")
     split = hash_split(scored, "doc_id",
                        {"train": 0.9, "val": 0.05, "test": 0.05}, salt=7)
     split = split.select_columns(["doc_id", "split"])
@@ -2042,8 +2062,22 @@ scored AS (
     + 0.2 * least(len(string_split(d.text, ' '))::DOUBLE / 100.0, 1.0)
       AS quality_score
   FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+g AS (
+  SELECT doc_id, lower(text) AS lt, string_split(lower(text), ' ') AS t,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN n < 3 THEN lt
+         ELSE array_to_string(t[i + 1 : i + 3], ' ') END AS gram
+  FROM g, unnest(range(0, greatest(n - 2, 1))) AS u(i)
+  WHERE n >= 3 OR i = 0),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
 kept2 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS id FROM scored
-          WHERE quality_score >= 0.4),
+          WHERE quality_score >= 0.4
+            AND NOT EXISTS (SELECT 1 FROM grams x JOIN bench b
+                            ON x.gram = b.gram
+                            WHERE x.doc_id = scored.doc_id)),
 m1 AS (SELECT doc_id,
        ({_MULMOD.format(a='id', b='11400714819323198485')} + 7)
          % 18446744073709551616 AS h1 FROM kept2),
