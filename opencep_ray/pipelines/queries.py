@@ -1828,6 +1828,37 @@ FROM documents d
 """
 
 
+def transcripts_boilerplate(sf_dir):
+    """CCNet/C4-style duplicated-line removal at turn granularity: drop
+    every turn whose exact text occurs >= 5 times corpus-wide (canned
+    responses / boilerplate).  Pass 1 is a per-batch (text, count)
+    partial census + tiny groupby-sum — the shuffle carries distinct
+    values, never turns; the banned set (the Zipf head, loud-capped)
+    broadcasts once via ``ray.put`` and every batch takes one
+    vectorized ``is_in`` anti-filter — the corpus itself never shuffles
+    (`stages/text.py:build_boilerplate_set` / `BoilerplatePrune`).
+    Differs from `dedup_exact` (keep ONE copy per value): a
+    frequency-threshold filter keeps ZERO copies of boilerplate and all
+    copies of everything under the threshold."""
+    import ray
+    from ..stages.text import BoilerplatePrune, build_boilerplate_set
+    banned = build_boilerplate_set(_transcripts_ds(columns=("text",)),
+                                   col="text", min_count=5)
+    ds = _transcripts_ds(columns=("conv_id", "turn_idx", "text"))
+    return ds.map_batches(BoilerplatePrune, batch_format="pyarrow",
+                          fn_constructor_args=(ray.put(banned),),
+                          concurrency=(1, 8))
+
+
+TRANSCRIPTS_BOILERPLATE_SQL = f"""
+WITH c AS (SELECT text, count(*) AS n
+           FROM read_parquet('{TRANSCRIPTS_PATH}') GROUP BY text)
+SELECT t.conv_id, t.turn_idx, t.text
+FROM read_parquet('{TRANSCRIPTS_PATH}') t JOIN c USING (text)
+WHERE c.n < 5
+"""
+
+
 def stats_distinct_approx(sf_dir):
     """Per-source approximate distinct document counts via HyperLogLog
     (`stages/sketch.py:grouped_approx_distinct` — per-batch sparse
@@ -2178,6 +2209,7 @@ QUERIES = {
     "stats_distinct_approx": stats_distinct_approx,    # new round 4
     "doc_chunks": doc_chunks,                          # new round 4
     "decontaminate": decontaminate,                    # new round 4
+    "transcripts_boilerplate": transcripts_boilerplate,  # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2218,7 +2250,6 @@ QUERIES = {
     "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
     "sink_roundtrip": sink_roundtrip,
-    "asof_purchase": asof_purchase,
     "asof_purchase_broadcast": asof_purchase_broadcast,
     # streaming-engine gate: only ONE driver row so far (r03) — keep it
     # inside the driver's 50-query window ahead of the 3-row CEP core
@@ -2234,6 +2265,7 @@ QUERIES = {
     "cep_hypercube": cep_hypercube,
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
+    "asof_purchase": asof_purchase,     # green r03; broadcast variant stays
     "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
     "text_fingerprint": text_fingerprint,  # 3 green rounds (r01-r03)
     "dedup_embedding": dedup_embedding,    # 3 green rounds (r01-r03)
@@ -2299,6 +2331,7 @@ ORACLES = {
     "stats_heavy_hitters": STATS_HH_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "decontaminate": DECONTAMINATE_SQL,
+    "transcripts_boilerplate": TRANSCRIPTS_BOILERPLATE_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

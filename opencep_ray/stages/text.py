@@ -610,3 +610,68 @@ class Decontaminate:
         return pa.table({
             self.id_col: batch[self.id_col],
             self.out_col: pa.array(flag.to_numpy(), pa.bool_())})
+
+
+def build_boilerplate_set(corpus, *, col: str = "text", min_count: int = 5,
+                          max_banned: int = 10_000_000) -> pa.Table:
+    """Global frequency census for CCNet/C4-style line-level dedup
+    (here at turn granularity): returns the DISTINCT ``col`` values that
+    occur at least ``min_count`` times corpus-wide.
+
+    Scale shape: each batch emits (value, count) partials via one Arrow
+    ``group_by`` — the shuffle that follows carries at most
+    (distinct-per-block x blocks) rows, never the corpus — and the
+    banned set is the high-frequency HEAD of a Zipfian distribution, so
+    it stays broadcast-sized even at web scale.  A loud ``max_banned``
+    cap raises instead of silently shipping an unbounded set (house
+    style of the LSH / vocabulary / benchmark-gram caps)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by(col).aggregate([([], "count_all")])
+        return t.rename_columns([col, "_n"])
+
+    counts = (corpus.map_batches(partial, batch_format="pyarrow")
+              .groupby(col).aggregate(Sum("_n", alias_name="_n"))
+              .filter(expr=f"_n >= {int(min_count)}")
+              .materialize())
+    n = counts.count()
+    if n > max_banned:
+        raise ValueError(
+            f"boilerplate set has {n} values above min_count={min_count}, "
+            f"over max_banned={max_banned} — this set broadcasts to every "
+            "actor; raise min_count or switch to the hash-partition "
+            "anti-join path.")
+    tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    return tbl.select([col])
+
+
+class BoilerplatePrune:
+    """Drops every row whose ``col`` value is in a broadcast banned set
+    (the output of :func:`build_boilerplate_set`) — the turn-granularity
+    analog of CCNet's duplicated-line removal.  The banned side ships
+    ONCE per actor via ``ray.put``; each batch is one vectorized
+    ``pyarrow.compute.is_in`` + filter, zero-copy on the kept rows.
+    ``invert=True`` keeps only the boilerplate instead (for auditing
+    what would be removed)."""
+
+    def __init__(self, banned_ref, col: str = "text",
+                 invert: bool = False):
+        self.banned_ref = banned_ref
+        self.col = col
+        self.invert = invert
+        self._banned = None
+
+    def _banned_array(self) -> pa.ChunkedArray:
+        if self._banned is None:
+            import ray
+            tbl = ray.get(self.banned_ref) \
+                if not isinstance(self.banned_ref, pa.Table) \
+                else self.banned_ref
+            self._banned = tbl[self.col].combine_chunks()
+        return self._banned
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hit = pc.is_in(batch[self.col], value_set=self._banned_array())
+        mask = hit if self.invert else pc.invert(hit)
+        return batch.filter(mask)
