@@ -1859,6 +1859,52 @@ WHERE c.n < 5
 """
 
 
+def dedup_conversations(sf_dir):
+    """Whole-conversation exact dedup: rebuild each conversation's
+    canonical transcript (``string_agg(text ORDER BY turn_idx)`` — the
+    per-turn-text-equality invariant of this engine, via the
+    fragment-merging `ordered_collect`), then keep the min-conv_id row
+    per distinct transcript (`stages/dedup.py:exact_dedup_rows`: coarse
+    content-hash shuffle, exact winner inside the shuffle — no
+    driver-side id set).  Duplicate conversations are planted
+    deterministically (numeric id % 7 == 0 re-keyed under a 'd' prefix)
+    so the removal path is actually exercised; the lexicographic winner
+    is always the original."""
+    from ..stages.dedup import exact_dedup_rows
+    from ..stages.window_fn import ordered_collect
+    base = _transcripts_ds(columns=("conv_id", "turn_idx", "text"))
+
+    def planted(t: pa.Table) -> pa.Table:
+        import numpy as np
+        nums = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1, 99),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(nums % 7 == 0))
+        return dup.set_column(
+            dup.column_names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(
+                pa.scalar("d"), dup["conv_id"].combine_chunks(),
+                pa.scalar("")))
+
+    ds = base.union(base.map_batches(planted, batch_format="pyarrow"))
+    canon = ordered_collect(ds, key="conv_id", order=["turn_idx"],
+                            col="text", sep="\n", out_col="canon")
+    return exact_dedup_rows(canon, col="canon", id_col="conv_id")
+
+
+DEDUP_CONVERSATIONS_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}')),
+u AS (
+  SELECT conv_id, turn_idx, text FROM t
+  UNION ALL
+  SELECT 'd' || conv_id AS conv_id, turn_idx, text FROM t
+  WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0),
+canon AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS canon
+  FROM u GROUP BY conv_id)
+SELECT min(conv_id) AS conv_id, canon FROM canon GROUP BY canon
+"""
+
+
 def stats_distinct_approx(sf_dir):
     """Per-source approximate distinct document counts via HyperLogLog
     (`stages/sketch.py:grouped_approx_distinct` — per-batch sparse
@@ -2210,6 +2256,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,                          # new round 4
     "decontaminate": decontaminate,                    # new round 4
     "transcripts_boilerplate": transcripts_boilerplate,  # new round 4
+    "dedup_conversations": dedup_conversations,          # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2250,7 +2297,6 @@ QUERIES = {
     "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
     "sink_roundtrip": sink_roundtrip,
-    "asof_purchase_broadcast": asof_purchase_broadcast,
     # streaming-engine gate: only ONE driver row so far (r03) — keep it
     # inside the driver's 50-query window ahead of the 3-row CEP core
     "cep_stream_seq2": cep_stream_seq2,
@@ -2265,7 +2311,8 @@ QUERIES = {
     "cep_hypercube": cep_hypercube,
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
-    "asof_purchase": asof_purchase,     # green r03; broadcast variant stays
+    "asof_purchase": asof_purchase,     # green r03
+    "asof_purchase_broadcast": asof_purchase_broadcast,  # green r03
     "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
     "text_fingerprint": text_fingerprint,  # 3 green rounds (r01-r03)
     "dedup_embedding": dedup_embedding,    # 3 green rounds (r01-r03)
@@ -2332,6 +2379,7 @@ ORACLES = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "transcripts_boilerplate": TRANSCRIPTS_BOILERPLATE_SQL,
+    "dedup_conversations": DEDUP_CONVERSATIONS_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
