@@ -1905,6 +1905,40 @@ SELECT min(conv_id) AS conv_id, canon FROM canon GROUP BY canon
 """
 
 
+def doc_familiarity(sf_dir):
+    """Token-familiarity quality scoring — the integer-exact stand-in
+    for a CCNet LM-perplexity filter: corpus unigram counts (singleton
+    tail dropped losslessly before the broadcast — an absent token has
+    count exactly 1, and the tail is where an open-web vocabulary is
+    unbounded), then one vectorized explode + left-join + group-sum per
+    batch (`stages/text.py:build_token_counts` / `FamiliarityScore`).
+    All aggregates are int64 sums (order-independent ⇒ bit-exact under
+    any partitioning); the one float is a single division of two exact
+    integers."""
+    import ray
+    from ..stages.text import FamiliarityScore, build_token_counts
+    docs = _documents(sf_dir)
+    counts = build_token_counts(_documents(sf_dir, columns=("text",)),
+                                col="text", min_count=2)
+    return docs.map_batches(FamiliarityScore, batch_format="pyarrow",
+                            fn_constructor_args=(ray.put(counts),),
+                            concurrency=(1, 8))
+
+
+DOC_FAMILIARITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+SELECT t.doc_id AS doc_id,
+       CAST(sum(c.n) AS BIGINT) AS tok_freq_sum,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN c.n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(c.n) AS DOUBLE) / count(*) AS mean_tok_freq
+FROM toks t JOIN c USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 def stats_distinct_approx(sf_dir):
     """Per-source approximate distinct document counts via HyperLogLog
     (`stages/sketch.py:grouped_approx_distinct` — per-batch sparse
@@ -2257,6 +2291,7 @@ QUERIES = {
     "decontaminate": decontaminate,                    # new round 4
     "transcripts_boilerplate": transcripts_boilerplate,  # new round 4
     "dedup_conversations": dedup_conversations,          # new round 4
+    "doc_familiarity": doc_familiarity,                  # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2296,10 +2331,10 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh": ann_lsh_q,
     "ann_ivf": ann_ivf_q,
-    "sink_roundtrip": sink_roundtrip,
     # streaming-engine gate: only ONE driver row so far (r03) — keep it
     # inside the driver's 50-query window ahead of the 3-row CEP core
     "cep_stream_seq2": cep_stream_seq2,
+    "sink_roundtrip": sink_roundtrip,   # green r03
     # --- long-green CEP rows last (green in r01+r02+r03; oracled in pytest) ---
     "cep_seq2": cep_seq2,
     "cep_seq3": cep_seq3,
@@ -2380,6 +2415,7 @@ ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "transcripts_boilerplate": TRANSCRIPTS_BOILERPLATE_SQL,
     "dedup_conversations": DEDUP_CONVERSATIONS_SQL,
+    "doc_familiarity": DOC_FAMILIARITY_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

@@ -675,3 +675,91 @@ class BoilerplatePrune:
         hit = pc.is_in(batch[self.col], value_set=self._banned_array())
         mask = hit if self.invert else pc.invert(hit)
         return batch.filter(mask)
+
+
+def build_token_counts(corpus, *, col: str = "text", min_count: int = 2,
+                       max_vocab: int = 50_000_000) -> pa.Table:
+    """Corpus-wide token occurrence counts for familiarity scoring —
+    the unigram analog of CCNet's LM pass: per-batch (token, count)
+    partials (one polars explode + group_by), a tiny groupby-sum merge,
+    then the ``n < min_count`` TAIL IS DROPPED before the broadcast.
+
+    With the default ``min_count=2`` the drop is lossless: a token
+    absent from the table has corpus count exactly 1, so scorers
+    reconstruct it — and the singleton tail is precisely where an open
+    web vocabulary grows without bound, so the broadcast side stays
+    head-sized.  A loud ``max_vocab`` cap raises rather than silently
+    shipping an unbounded set."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([col]))
+        out = (df.with_columns(pl.col(col).str.split(" ").alias("tok"))
+               .drop(col).explode("tok")
+               .group_by("tok").agg(pl.len().cast(pl.Int64).alias("_n")))
+        return out.to_arrow()
+
+    counts = (corpus.map_batches(partial, batch_format="pyarrow")
+              .groupby("tok").aggregate(Sum("_n", alias_name="n"))
+              .filter(expr=f"n >= {int(min_count)}")
+              .materialize())
+    nv = counts.count()
+    if nv > max_vocab:
+        raise ValueError(
+            f"token-count table has {nv} tokens above min_count="
+            f"{min_count}, over max_vocab={max_vocab} — this table "
+            "broadcasts to every actor; raise min_count or the cap.")
+    tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    return pa.table({"tok": pc.cast(tbl["tok"], pa.string()),
+                     "n": pc.cast(tbl["n"], pa.int64())})
+
+
+class FamiliarityScore:
+    """Per-document token-familiarity metrics against a broadcast
+    corpus count table (:func:`build_token_counts`): ``tok_freq_sum``
+    (int64 sum of global counts — order-independent, so bit-exact under
+    any partitioning), ``n_tokens``, ``n_rare`` (tokens with corpus
+    count < ``rare_below``) and ``mean_tok_freq`` (one division of two
+    exact integers).  Tokens absent from the pruned table score their
+    exact corpus count of 1 (see ``build_token_counts``).  The quality
+    signal: documents dominated by rare tokens (low mean familiarity)
+    are OOV-heavy / noisy — the integer-exact stand-in for an LM
+    perplexity filter."""
+
+    def __init__(self, counts_ref, col: str = "text",
+                 id_col: str = "doc_id", rare_below: int = 5):
+        self.counts_ref = counts_ref
+        self.col = col
+        self.id_col = id_col
+        self.rare_below = rare_below
+        self._counts = None
+
+    def _counts_frame(self):
+        if self._counts is None:
+            import polars as pl
+            import ray
+            tbl = ray.get(self.counts_ref) \
+                if not isinstance(self.counts_ref, pa.Table) \
+                else self.counts_ref
+            self._counts = pl.from_arrow(tbl)
+        return self._counts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(batch.select([self.id_col, self.col]))
+        ex = (df.with_columns(pl.col(self.col).str.split(" ").alias("tok"))
+              .drop(self.col).explode("tok")
+              .join(self._counts_frame(), on="tok", how="left")
+              .with_columns(pl.col("n").fill_null(1)))
+        agg = (ex.group_by(self.id_col).agg(
+            pl.col("n").sum().alias("tok_freq_sum"),
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+            (pl.col("n") < self.rare_below).sum().cast(pl.Int64)
+            .alias("n_rare"))
+            .with_columns((pl.col("tok_freq_sum").cast(pl.Float64)
+                           / pl.col("n_tokens")).alias("mean_tok_freq")))
+        out = agg.to_arrow()
+        return out.set_column(
+            out.column_names.index(self.id_col), self.id_col,
+            pc.cast(out[self.id_col], batch.schema.field(self.id_col).type))
