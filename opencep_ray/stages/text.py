@@ -763,3 +763,17 @@ class FamiliarityScore:
         return out.set_column(
             out.column_names.index(self.id_col), self.id_col,
             pc.cast(out[self.id_col], batch.schema.field(self.id_col).type))
+
+
+def normalize_text(batch: pa.Table, col: str = "text",
+                   out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization (the usual pre-dedup/pre-shingle
+    pass): lowercase → non-alphanumeric runs to one space → collapse
+    space runs → trim.  Pure RE2 Arrow kernels, so the DuckDB oracle
+    (`lower` + `regexp_replace(..., 'g')` + `trim`) reproduces the
+    bytes exactly."""
+    x = pc.utf8_lower(batch[col])
+    x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+    x = pc.replace_substring_regex(x, " +", " ")
+    x = pc.utf8_trim_whitespace(x)
+    return batch.append_column(out_col, x)

@@ -520,3 +520,52 @@ def test_decontaminate_planted_overlap(ray_session):
     import pytest
     with pytest.raises(ValueError, match="max_grams"):
         build_benchmark_grams(bench, k=3, max_grams=1)
+
+
+def test_boilerplate_prune_hand_values(ray_session):
+    """Values at/above min_count are banned; survivors keep ALL copies
+    (frequency-threshold filter, not keep-one dedup); invert audits."""
+    import pytest
+    import ray.data as rd
+    from opencep_ray.stages.text import (BoilerplatePrune,
+                                         build_boilerplate_set)
+    rows = pa.table({
+        "id": pa.array(list(range(7)), pa.int64()),
+        "text": ["dup", "dup", "dup", "rare", "rare", "once", "dup"]})
+    ds = rd.from_arrow(rows)
+    banned = build_boilerplate_set(ds, col="text", min_count=3)
+    assert banned["text"].to_pylist() == ["dup"]
+    kept = BoilerplatePrune(banned)(rows)
+    assert kept["id"].to_pylist() == [3, 4, 5]
+    audit = BoilerplatePrune(banned, invert=True)(rows)
+    assert audit["id"].to_pylist() == [0, 1, 2, 6]
+    with pytest.raises(ValueError, match="max_banned"):
+        build_boilerplate_set(ds, col="text", min_count=1, max_banned=1)
+
+
+def test_token_counts_and_familiarity(ray_session):
+    """Singleton tail is dropped losslessly (absent token scores count 1);
+    int64 sums match hand values; vocab cap is loud."""
+    import pytest
+    import ray.data as rd
+    from opencep_ray.stages.text import (FamiliarityScore,
+                                         build_token_counts)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["a a b", "b z"]})
+    ds = rd.from_arrow(docs)
+    counts = build_token_counts(ds, min_count=2)
+    got = dict(zip(counts["tok"].to_pylist(), counts["n"].to_pylist()))
+    assert got == {"a": 2, "b": 2}          # z (count 1) dropped
+    out = FamiliarityScore(counts, rare_below=2)(docs)
+    by_id = {r["doc_id"]: r for r in out.to_pylist()}
+    # doc 1: tokens a,a,b -> counts 2,2,2 -> sum 6, rare 0
+    assert by_id[1]["tok_freq_sum"] == 6
+    assert by_id[1]["n_tokens"] == 3
+    assert by_id[1]["n_rare"] == 0
+    assert by_id[1]["mean_tok_freq"] == 2.0
+    # doc 2: tokens b,z -> counts 2,1 (z absent => exactly 1) -> rare 1
+    assert by_id[2]["tok_freq_sum"] == 3
+    assert by_id[2]["n_rare"] == 1
+    with pytest.raises(ValueError, match="max_vocab"):
+        build_token_counts(ds, min_count=1, max_vocab=2)
