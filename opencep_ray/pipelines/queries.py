@@ -1905,6 +1905,49 @@ SELECT min(conv_id) AS conv_id, canon FROM canon GROUP BY canon
 """
 
 
+def dedup_conversations_digest(sf_dir):
+    """The SCALE path for whole-conversation dedup: no canonical
+    rebuild, no global sort, no text shuffle — each turn hashes
+    ``(turn_idx, text)`` and a conversation's digest is the XOR of its
+    turn hashes + turn count (order-independent; self-cancellation
+    impossible because turn_idx is unique per conversation).  Two
+    exchanges of one row per conversation(-block)
+    (`stages/dedup.py:conversation_digest_ids`).  Same planted
+    duplicates as :func:`dedup_conversations`; output is the kept
+    conv_ids only.  Exact up to 64-bit digest collision — the
+    `exact_dedup_ids` contract."""
+    from ..stages.dedup import conversation_digest_ids
+    base = _transcripts_ds(columns=("conv_id", "turn_idx", "text"))
+
+    def planted(t: pa.Table) -> pa.Table:
+        import numpy as np
+        nums = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1, 99),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(nums % 7 == 0))
+        return dup.set_column(
+            dup.column_names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(
+                pa.scalar("d"), dup["conv_id"].combine_chunks(),
+                pa.scalar("")))
+
+    ds = base.union(base.map_batches(planted, batch_format="pyarrow"))
+    return conversation_digest_ids(ds)
+
+
+DEDUP_CONVERSATIONS_DIGEST_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}')),
+u AS (
+  SELECT conv_id, turn_idx, text FROM t
+  UNION ALL
+  SELECT 'd' || conv_id AS conv_id, turn_idx, text FROM t
+  WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0),
+canon AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS canon
+  FROM u GROUP BY conv_id)
+SELECT min(conv_id) AS conv_id FROM canon GROUP BY canon
+"""
+
+
 def doc_familiarity(sf_dir):
     """Token-familiarity quality scoring — the integer-exact stand-in
     for a CCNet LM-perplexity filter: corpus unigram counts (singleton
@@ -2312,6 +2355,7 @@ QUERIES = {
     "dedup_conversations": dedup_conversations,          # new round 4
     "doc_familiarity": doc_familiarity,                  # new round 4
     "text_normalize": text_normalize,                    # new round 4
+    "dedup_conversations_digest": dedup_conversations_digest,  # new r4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2349,12 +2393,12 @@ QUERIES = {
     "text_redact": text_redact,
     "text_repetition": text_repetition,
     "ann_topk": ann_topk,
-    "ann_lsh": ann_lsh_q,
     # streaming-engine gate: only ONE driver row so far (r03) — keep it
     # inside the driver's 50-query window ahead of the 3-row CEP core
     "cep_stream_seq2": cep_stream_seq2,
     # position 51+: the driver covers the first 50; everything below
     # keeps its green r01-r03 rows and the identical pytest DuckDB gate
+    "ann_lsh": ann_lsh_q,               # green r03
     "ann_ivf": ann_ivf_q,               # green r03
     "sink_roundtrip": sink_roundtrip,   # green r03
     # --- long-green CEP rows last (green in r01+r02+r03; oracled in pytest) ---
@@ -2439,6 +2483,7 @@ ORACLES = {
     "dedup_conversations": DEDUP_CONVERSATIONS_SQL,
     "doc_familiarity": DOC_FAMILIARITY_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
+    "dedup_conversations_digest": DEDUP_CONVERSATIONS_DIGEST_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,

@@ -844,3 +844,118 @@ def embedding_neardup_blocked(ds: Dataset, block_col: str = "label",
     block, float64)."""
     return ds.groupby(block_col, num_partitions=16).map_groups(
         _BlockCosine(id_col, vec_col, threshold), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sort-free conversation dedup (multiset digest)
+
+
+def _xor_by_key(keys: np.ndarray, vals: np.ndarray,
+                counts: np.ndarray | None = None):
+    """(key-sorted) xor-reduce + count per key run; returns
+    (run_start_idx, xors, counts)."""
+    starts = np.flatnonzero(
+        np.concatenate(([True], keys[1:] != keys[:-1])))
+    xors = np.bitwise_xor.reduceat(vals, starts)
+    if counts is None:
+        n = np.diff(np.append(starts, len(vals))).astype(np.int64)
+    else:
+        n = np.add.reduceat(counts, starts).astype(np.int64)
+    return starts, xors, n
+
+
+def conversation_digest_ids(ds: Dataset, key: str = "conv_id",
+                            order_col: str = "turn_idx",
+                            col: str = "text",
+                            parts: int = 64) -> Dataset:
+    """Kept ``key`` (min id per distinct conversation content) WITHOUT
+    rebuilding transcripts: each turn hashes ``(order_col, col)`` to 64
+    bits and a conversation's digest is the XOR of its turn hashes plus
+    the turn count — order-independent, so NO global sort and NO text
+    shuffle ever happen (the exchange carries one (key, digest) row per
+    conversation-block, then one per conversation).  Exact up to 64-bit
+    digest collision (~n²/2⁶⁴ — the `exact_dedup_ids` contract); XOR
+    self-cancellation cannot occur because ``order_col`` is unique
+    within a conversation, making every hashed pair distinct.  Use
+    :func:`ordered_collect` + :func:`exact_dedup_rows` when the
+    canonical transcript itself is needed downstream."""
+    from .partition import with_key_part
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        if batch.num_rows == 0:
+            return pa.table({key: batch[key].slice(0, 0),
+                             "_x": pa.array([], pa.uint64()),
+                             "_n": pa.array([], pa.int64())})
+        df = (pl.from_arrow(batch.select([key, order_col, col]))
+              .sort(key)
+              .select(pl.col(key),
+                      pl.struct([order_col, col]).hash(seed=11)
+                      .alias("_h")))
+        keys = df[key].to_numpy()
+        vals = df["_h"].to_numpy()
+        starts, xors, n = _xor_by_key(keys, vals)
+        out = pa.table({key: pa.array(keys[starts]),
+                        "_x": pa.array(xors, pa.uint64()),
+                        "_n": pa.array(n, pa.int64())})
+        return out.set_column(0, key, pc.cast(out[key],
+                                              batch.schema.field(key).type))
+
+    frags = ds.map_batches(partial, batch_format="pyarrow")
+    # two tiny exchanges: (1) key-hash partition finishes each
+    # conversation's digest (a conversation's fragments co-locate);
+    # (2) digest-hash partition brings IDENTICAL conversations —
+    # which live under different keys — together for the min-key pick.
+    # Both carry one row per conversation(-block), never turns.
+    merged = (with_key_part(frags, key, parts=parts)
+              .groupby("_kpart")
+              .map_groups(_finish_digests(key), batch_format="pyarrow"))
+    return (with_key_part(merged, "_x", parts=parts)
+            .groupby("_kpart")
+            .map_groups(_keep_min_key(key), batch_format="pyarrow")
+            .select_columns([key]))
+
+
+class _finish_digests:
+    """Group = one key-hash partition of (key, _x, _n) fragments:
+    xor-merge fragments into ONE digest row per conversation."""
+
+    def __init__(self, key: str):
+        self.key = key
+        self.__name__ = "FinishDigests"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import polars as pl
+        if group.num_rows == 0:
+            return group.select([self.key, "_x", "_n"])
+        df = pl.from_arrow(group.select([self.key, "_x", "_n"])) \
+            .sort(self.key)
+        keys = df[self.key].to_numpy()
+        starts, xors, n = _xor_by_key(
+            keys, df["_x"].to_numpy(), df["_n"].to_numpy())
+        out = pa.table({self.key: pa.array(keys[starts]),
+                        "_x": pa.array(xors, pa.uint64()),
+                        "_n": pa.array(n, pa.int64())})
+        return out.set_column(
+            0, self.key,
+            pc.cast(out[self.key], group.schema.field(self.key).type))
+
+
+class _keep_min_key:
+    """Group = one digest-hash partition of per-conversation digest
+    rows: keep min key per (_x, _n)."""
+
+    def __init__(self, key: str):
+        self.key = key
+        self.__name__ = "KeepMinKey"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import polars as pl
+        if group.num_rows == 0:
+            return group.select([self.key])
+        df = pl.from_arrow(group.select([self.key, "_x", "_n"]))
+        kept = (df.sort(self.key)
+                .group_by(["_x", "_n"], maintain_order=True).first())
+        out = kept.select(self.key).to_arrow()
+        return pa.table({self.key: pc.cast(
+            out[self.key], group.schema.field(self.key).type)})

@@ -569,3 +569,27 @@ def test_token_counts_and_familiarity(ray_session):
     assert by_id[2]["n_rare"] == 1
     with pytest.raises(ValueError, match="max_vocab"):
         build_token_counts(ds, min_count=1, max_vocab=2)
+
+
+def test_conversation_digest_matches_exact_rebuild(ray_session):
+    """The sort-free digest path keeps EXACTLY the conv_ids the
+    canonical-rebuild path keeps, including planted duplicate and
+    storage-order permutations."""
+    import ray.data as rd
+    from opencep_ray.stages.dedup import (conversation_digest_ids,
+                                          exact_dedup_rows)
+    from opencep_ray.stages.window_fn import ordered_collect
+    rows = pa.table({
+        "conv_id": ["a", "a", "b", "b", "c", "c", "d"],
+        "turn_idx": pa.array([0, 1, 1, 0, 0, 1, 0], pa.int32()),
+        # b == a content-wise (stored in permuted turn order);
+        # c differs in one turn; d is a 1-turn conversation
+        "text": ["hi", "there", "there", "hi", "hi", "world", "hi"]})
+    ds = rd.from_arrow(rows)
+    got = sorted(conversation_digest_ids(ds)
+                 .to_pandas()["conv_id"].tolist())
+    canon = ordered_collect(ds, key="conv_id", order=["turn_idx"],
+                            col="text", sep="\n", out_col="canon")
+    want = sorted(exact_dedup_rows(canon, col="canon", id_col="conv_id")
+                  .to_pandas()["conv_id"].tolist())
+    assert got == want == ["a", "c", "d"]
