@@ -1948,6 +1948,49 @@ SELECT min(conv_id) AS conv_id FROM canon GROUP BY canon
 """
 
 
+def conv_wellformed(sf_dir):
+    """SFT-data validation: flag conversations whose role sequence is
+    well-formed for instruction tuning — starts with a user turn, ends
+    with an assistant turn, contains no system turns.  Composed from
+    the `ordered_collect` role rebuild (one fragment per conv-block)
+    plus three zero-copy Arrow string kernels; no additional shuffle."""
+    import pyarrow.compute as _pc
+    from ..stages.window_fn import ordered_collect
+    t = _transcripts_ds(columns=("conv_id", "turn_idx", "role", "ts"))
+
+    def us(batch):
+        return batch.append_column(
+            "ts_us", _pc.cast(batch["ts"], pa.int64()))
+
+    seq = ordered_collect(t.map_batches(us, batch_format="pyarrow"),
+                          key="conv_id", order=["ts_us", "turn_idx"],
+                          col="role", sep=",", out_col="role_seq")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        rs = batch["role_seq"]
+        ok = _pc.and_(_pc.and_(_pc.starts_with(rs, pattern="user"),
+                               _pc.ends_with(rs, pattern="assistant")),
+                      _pc.invert(_pc.match_substring(rs,
+                                                     pattern="system")))
+        return pa.table({"conv_id": batch["conv_id"],
+                         "wellformed": ok})
+
+    return seq.map_batches(flag, batch_format="pyarrow")
+
+
+CONV_WELLFORMED_SQL = f"""
+WITH s AS (
+  SELECT conv_id,
+         string_agg(role, ',' ORDER BY epoch_us(ts), turn_idx)
+           AS role_seq
+  FROM read_parquet('{TRANSCRIPTS_PATH}') GROUP BY conv_id)
+SELECT conv_id,
+       (role_seq LIKE 'user%' AND role_seq LIKE '%assistant'
+        AND role_seq NOT LIKE '%system%') AS wellformed
+FROM s
+"""
+
+
 def doc_familiarity(sf_dir):
     """Token-familiarity quality scoring — the integer-exact stand-in
     for a CCNet LM-perplexity filter: corpus unigram counts (singleton
@@ -2356,6 +2399,7 @@ QUERIES = {
     "doc_familiarity": doc_familiarity,                  # new round 4
     "text_normalize": text_normalize,                    # new round 4
     "dedup_conversations_digest": dedup_conversations_digest,  # new r4
+    "conv_wellformed": conv_wellformed,                  # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2392,12 +2436,12 @@ QUERIES = {
     "text_quality": text_quality,
     "text_redact": text_redact,
     "text_repetition": text_repetition,
-    "ann_topk": ann_topk,
     # streaming-engine gate: only ONE driver row so far (r03) — keep it
     # inside the driver's 50-query window ahead of the 3-row CEP core
     "cep_stream_seq2": cep_stream_seq2,
     # position 51+: the driver covers the first 50; everything below
     # keeps its green r01-r03 rows and the identical pytest DuckDB gate
+    "ann_topk": ann_topk,               # green r03
     "ann_lsh": ann_lsh_q,               # green r03
     "ann_ivf": ann_ivf_q,               # green r03
     "sink_roundtrip": sink_roundtrip,   # green r03
@@ -2484,6 +2528,7 @@ ORACLES = {
     "doc_familiarity": DOC_FAMILIARITY_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "dedup_conversations_digest": DEDUP_CONVERSATIONS_DIGEST_SQL,
+    "conv_wellformed": CONV_WELLFORMED_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
