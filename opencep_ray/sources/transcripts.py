@@ -38,18 +38,20 @@ def synth_transcripts(n_convs: int = 100, avg_turns: int = 20,
     total = int(turns.sum())
 
     conv_ord = np.repeat(np.arange(n_convs), turns)
-    turn_idx = np.concatenate([np.arange(t) for t in turns]).astype(np.int32)
+    # ramp 0..t-1 per conversation without a per-conv Python loop
+    conv_first = np.zeros(n_convs, dtype=np.int64)
+    conv_first[1:] = np.cumsum(turns)[:-1]
+    turn_idx = (np.arange(total, dtype=np.int64)
+                - conv_first[conv_ord]).astype(np.int32)
 
     # role cycle user → assistant with tool/system interludes
     r = rng.rand(total)
     role_idx = np.where(turn_idx % 2 == 0, 0, 1)          # user / assistant
     role_idx = np.where((r < 0.18) & (turn_idx > 0), 2, role_idx)  # tool
     role_idx = np.where((r > 0.97), 3, role_idx)           # system
-    roles = ROLES[role_idx]
 
-    tool_names = np.where(role_idx == 2,
-                          TOOLS[rng.randint(0, len(TOOLS), size=total)],
-                          None)
+    # draw position must stay here (RNG order fixes every later column)
+    rng_tool_idx = rng.randint(0, len(TOOLS), size=total)
 
     # per-conversation start offset + non-decreasing gaps with ties
     conv_start = (rng.randint(0, 30 * 24 * 3600, size=n_convs).astype(np.int64)
@@ -66,19 +68,37 @@ def synth_transcripts(n_convs: int = 100, avg_turns: int = 20,
     conv_first_pos[1:] = np.cumsum(turns)[:-1]
     ts = start_us + conv_start[conv_ord] + cum - cum[conv_first_pos][conv_ord]
 
-    # deterministic numeric material inside text: "msg <n> v=<v>"
+    # deterministic numeric material inside text: "msg <n> v=<v>".
+    # All string construction runs through Arrow C kernels — np.char /
+    # .tolist() cost ~µs/row and made an 80M-turn table take ~an hour;
+    # this path builds it in seconds.  Values are BIT-IDENTICAL to the
+    # original np.char formatting (pinned in tests).
+    import pyarrow.compute as pc
     v = rng.randint(0, 100, size=total)
-    conv_ids = np.char.add("c", np.char.zfill(conv_ord.astype(str), 7))
-    texts = np.char.add(
-        np.char.add("msg ", turn_idx.astype(str)),
-        np.char.add(" v=", v.astype(str)))
+    conv_ids = pc.binary_join_element_wise(
+        pa.scalar("c"),
+        pc.utf8_lpad(pc.cast(pa.array(conv_ord), pa.string()), 7, "0"),
+        pa.scalar(""))
+    texts = pc.binary_join_element_wise(
+        pa.scalar("msg "),
+        pc.cast(pa.array(turn_idx, pa.int32()), pa.string()),
+        pa.scalar(" v="),
+        pc.cast(pa.array(v), pa.string()),
+        pa.scalar(""))
+    role_arr = pc.take(pa.array(ROLES.tolist(), pa.string()),
+                       pa.array(role_idx))
+    # tool name only on tool turns (null elsewhere)
+    tool_pick = pc.take(pa.array(TOOLS.tolist(), pa.string()),
+                        pa.array(rng_tool_idx))
+    tool_arr = pc.if_else(pa.array(role_idx == 2), tool_pick,
+                          pa.scalar(None, pa.string()))
 
     return pa.table({
-        "conv_id": pa.array(conv_ids.tolist(), pa.string()),
+        "conv_id": conv_ids,
         "turn_idx": pa.array(turn_idx, pa.int32()),
-        "role": pa.array(roles.tolist(), pa.string()),
-        "text": pa.array(texts.tolist(), pa.string()),
-        "tool": pa.array(tool_names.tolist(), pa.string()),
+        "role": role_arr,
+        "text": texts,
+        "tool": tool_arr,
         "ts": pa.array(ts, pa.timestamp("us")),
     })
 
