@@ -24,11 +24,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator from SURVEY.md §2 plus
     the training-data stages (windows, dedup, text, ANN, multimodal,
     relational, window functions / ordered analytics, shard packing,
-    sketches, splits, joins, sinks) — 70 queries, 67 with hard SQL
+    sketches, splits, joins, sinks) — 71 queries, 68 with hard SQL
     oracles; the streaming engine itself is gated via
     ``cep_stream_seq2``.  The dict is ordered so queries without a
     prior driver row run inside the driver's 50-query window; the
-    20 past-position-50 entries each have >= 1 green driver round
+    21 past-position-50 entries each have >= 1 green driver round
     (r01-r03) and stay under the identical DuckDB gate in
     tests/test_queries_oracle.py."""
     from opencep_ray.pipelines.queries import (QUERIES,

@@ -1991,6 +1991,49 @@ FROM s
 """
 
 
+def transcripts_curate(sf_dir):
+    """Composed transcripts-side curation — the transcript analog of
+    `curate_split_sink`: (1) canonical normalization (RE2 Arrow
+    kernels), (2) CCNet-style boilerplate pruning on the NORMALIZED
+    text (census → broadcast anti-filter, corpus never shuffles),
+    (3) stable re-sequencing of the surviving turns (two-pass
+    distributed prefix scan).  The whole composition is gated by ONE
+    SQL oracle, so stage interactions — not just stages — are
+    hash-checked."""
+    import ray
+    from ..stages.text import (BoilerplatePrune, build_boilerplate_set,
+                               normalize_text)
+    from ..stages.window_fn import partitioned_row_number
+    t = _transcripts_ds(columns=("conv_id", "turn_idx", "text"))
+    norm = t.map_batches(normalize_text, batch_format="pyarrow") \
+        .drop_columns(["text"])
+    banned = build_boilerplate_set(norm, col="norm_text", min_count=5)
+    kept = norm.map_batches(
+        BoilerplatePrune, batch_format="pyarrow",
+        fn_constructor_args=(ray.put(banned),),
+        fn_constructor_kwargs={"col": "norm_text"},
+        concurrency=(1, 8))
+    return partitioned_row_number(kept, key="conv_id",
+                                  order=["turn_idx"], out_col="new_idx")
+
+
+TRANSCRIPTS_CURATE_SQL = f"""
+WITH n AS (
+  SELECT conv_id, turn_idx,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM read_parquet('{TRANSCRIPTS_PATH}')),
+c AS (SELECT norm_text, count(*) AS cnt FROM n GROUP BY norm_text),
+kept AS (
+  SELECT conv_id, turn_idx, norm_text
+  FROM n JOIN c USING (norm_text) WHERE cnt < 5)
+SELECT conv_id, turn_idx, norm_text,
+       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         AS new_idx
+FROM kept
+"""
+
+
 def doc_familiarity(sf_dir):
     """Token-familiarity quality scoring — the integer-exact stand-in
     for a CCNet LM-perplexity filter: corpus unigram counts (singleton
@@ -2400,6 +2443,7 @@ QUERIES = {
     "text_normalize": text_normalize,                    # new round 4
     "dedup_conversations_digest": dedup_conversations_digest,  # new r4
     "conv_wellformed": conv_wellformed,                  # new round 4
+    "transcripts_curate": transcripts_curate,            # new round 4
     "multimodal_decode": multimodal_decode,
     "rel_pricing": rel_pricing,
     "rel_segment_revenue": rel_segment_revenue,
@@ -2435,12 +2479,12 @@ QUERIES = {
     "doc_top_term": doc_top_term,
     "text_quality": text_quality,
     "text_redact": text_redact,
-    "text_repetition": text_repetition,
     # streaming-engine gate: only ONE driver row so far (r03) — keep it
     # inside the driver's 50-query window ahead of the 3-row CEP core
     "cep_stream_seq2": cep_stream_seq2,
     # position 51+: the driver covers the first 50; everything below
     # keeps its green r01-r03 rows and the identical pytest DuckDB gate
+    "text_repetition": text_repetition,  # green r03
     "ann_topk": ann_topk,               # green r03
     "ann_lsh": ann_lsh_q,               # green r03
     "ann_ivf": ann_ivf_q,               # green r03
@@ -2529,6 +2573,7 @@ ORACLES = {
     "text_normalize": TEXT_NORMALIZE_SQL,
     "dedup_conversations_digest": DEDUP_CONVERSATIONS_DIGEST_SQL,
     "conv_wellformed": CONV_WELLFORMED_SQL,
+    "transcripts_curate": TRANSCRIPTS_CURATE_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
     "rel_pricing": REL_PRICING_SQL,
     "rel_segment_revenue": REL_SEGMENT_SQL,
