@@ -194,6 +194,8 @@ def cep_stream_seq2(sf_dir):
                 os.kill(pid, 0)     # raises if the owner is gone
         except ValueError:
             continue
+        except PermissionError:
+            continue            # pid alive but owned by another user
         except ProcessLookupError:
             shutil.rmtree(d, ignore_errors=True)
     out = f"/tmp/graft_synth/stream_q_{os.getpid()}"

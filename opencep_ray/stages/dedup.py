@@ -167,7 +167,7 @@ class MinHashSignatures:
             "text": tser,
         })
         ex = (df.with_columns(pl.col("text").str.split(" ").alias("t"))
-              .select("d", "text", "t").explode("t"))
+              .select("d", "text", "t").explode("t", empty_as_null=True))
         if k > 1:
             shifted = [pl.col("t").shift(-i).over("d").alias(f"_s{i}")
                        for i in range(1, k)]
@@ -544,7 +544,7 @@ def verify_jaccard(pairs: Dataset, docs: Dataset, col: str = "text",
             return empty
         dfv = df.join(valid.select("_pa", "_pb"), on=["_pa", "_pb"],
                       how="inner")
-        inter = (dfv.select("_pa", "_pb", "_sh").explode("_sh")
+        inter = (dfv.select("_pa", "_pb", "_sh").explode("_sh", empty_as_null=True)
                  .group_by(["_pa", "_pb", "_sh"])
                  .agg(pl.len().alias("_c"))
                  .group_by(["_pa", "_pb"])
@@ -612,7 +612,7 @@ class SimHashSignatures:
             "text": tser,
         })
         ex = (df.with_columns(pl.col("text").str.split(" ").alias("t"))
-              .select("d", "t").explode("t").sort("d"))
+              .select("d", "t").explode("t", empty_as_null=True).sort("d"))
         docs = ex["d"].to_numpy()
         hs = ex["t"].hash(seed=11).to_numpy()
         bounds = np.searchsorted(docs, np.arange(n + 1))

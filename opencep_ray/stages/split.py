@@ -116,6 +116,11 @@ def _md5_upper_u64(arr: pa.Array) -> np.ndarray:
                             count=len(arr) + 1, offset=8 * arr.offset)
     values = np.frombuffer(arr.buffers()[2], np.uint8,
                            count=int(offsets[-1]))
+    if offsets[0]:
+        # sliced array: rebase so the short.all() fast path's
+        # contiguous-values assumption holds (zero-copy views)
+        values = values[int(offsets[0]):]
+        offsets = offsets - offsets[0]
     lens = np.diff(offsets)
     out = np.empty(len(arr), np.uint64)
     short = lens <= 55

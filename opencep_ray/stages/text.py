@@ -137,7 +137,7 @@ class TokenDocFreq:
         toks = (df.with_columns(
             pl.col(self.col).cast(pl.String).fill_null("")
             .str.to_lowercase().str.split(" ").alias("_t"))
-            .select(self.id_col, "_t").explode("_t"))
+            .select(self.id_col, "_t").explode("_t", empty_as_null=True))
         part = (toks.unique()
                 .group_by("_t").agg(pl.len().alias("df_part"))
                 .rename({"_t": "token"}))
@@ -221,7 +221,7 @@ class TfIdfTopTerm:
         tf = (df.with_columns(
             pl.col(self.col).cast(pl.String).fill_null("")
             .str.to_lowercase().str.split(" ").alias("_t"))
-            .select(self.id_col, "_t").explode("_t")
+            .select(self.id_col, "_t").explode("_t", empty_as_null=True)
             .group_by([self.id_col, "_t"]).agg(pl.len().alias("_tf"))
             .rename({"_t": "token"}))
         scored = (tf.join(self._df_frame(), on="token", how="inner")
@@ -281,7 +281,7 @@ class LangId:
         words = (df.with_columns(
             pl.col("_t").str.to_lowercase()
             .str.extract_all(self.WORD_RE).alias("_w"))
-            .select("_i", "_w").explode("_w"))
+            .select("_i", "_w").explode("_w", empty_as_null=True))
         hits = words.group_by("_i").agg([
             pl.col("_w").is_in(self.markers[lang]).sum()
             .alias(f"_h_{lang}") for lang in self.langs])
@@ -495,7 +495,7 @@ class ChunkDocuments:
             .with_columns(pl.col("_t").list.len().alias("_n"))
             .with_columns(pl.int_ranges(0, pl.col("_n"), self.stride)
                           .alias("_s"))
-            .explode("_s")
+            .explode("_s", empty_as_null=True)
             .with_columns(
                 (pl.col("_s") // self.stride).alias("chunk_idx"),
                 pl.col("_t").list.slice(pl.col("_s"), self.chunk_tokens)
@@ -520,7 +520,7 @@ def _gram_strings(df, col: str, k: int):
         .with_columns(pl.col("_lt").str.split(" ").alias("_t"))
         .with_columns(pl.col("_t").list.len().alias("_n"),
                       pl.int_range(0, pl.len()).alias("_row"))
-        .explode("_t"))
+        .explode("_t", empty_as_null=True))
     if k > 1:
         shifted = [pl.col("_t").shift(-i).over("_row").alias(f"_s{i}")
                    for i in range(1, k)]
@@ -605,8 +605,9 @@ class Decontaminate:
         hit = (grams.join(self._bench_frame(), on="_g", how="semi")
                .select(self.id_col).unique())
         # order-safe flag: membership test against the hit set (a left
-        # join would depend on polars' join-order guarantees)
-        flag = df[self.id_col].is_in(hit[self.id_col])
+        # join would depend on polars' join-order guarantees); implode
+        # pins the is_in semantics polars 2.0 will change (issue 22149)
+        flag = df[self.id_col].is_in(hit[self.id_col].implode())
         return pa.table({
             self.id_col: batch[self.id_col],
             self.out_col: pa.array(flag.to_numpy(), pa.bool_())})
@@ -696,7 +697,7 @@ def build_token_counts(corpus, *, col: str = "text", min_count: int = 2,
     def partial(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([col]))
         out = (df.with_columns(pl.col(col).str.split(" ").alias("tok"))
-               .drop(col).explode("tok")
+               .drop(col).explode("tok", empty_as_null=True)
                .group_by("tok").agg(pl.len().cast(pl.Int64).alias("_n")))
         return out.to_arrow()
 
@@ -749,7 +750,7 @@ class FamiliarityScore:
         import polars as pl
         df = pl.from_arrow(batch.select([self.id_col, self.col]))
         ex = (df.with_columns(pl.col(self.col).str.split(" ").alias("tok"))
-              .drop(self.col).explode("tok")
+              .drop(self.col).explode("tok", empty_as_null=True)
               .join(self._counts_frame(), on="tok", how="left")
               .with_columns(pl.col("n").fill_null(1)))
         agg = (ex.group_by(self.id_col).agg(

@@ -134,3 +134,24 @@ def test_md5_kernel_parity_with_hashlib():
     assert (_md5_upper_u64(pa.array(ss, pa.large_string())) == exp).all()
     assert (keys_to_u64(pa.array([s.encode() for s in ss],
                                  pa.binary())) == exp).all()
+
+
+def test_md5_kernel_sliced_array():
+    """A SLICED arrow array (nonzero value-buffer base offset) must hash
+    identically to the unsliced values — ADVICE r04 flagged the
+    short.all() fast path assumed offsets[0] == 0."""
+    import hashlib
+    import numpy as np
+    import pyarrow as pa
+    from opencep_ray.stages.split import _md5_upper_u64
+    ss = ["alpha", "bravo", "charlie", "x" * 80, "delta", "écho"]
+    arr = pa.array(ss, pa.string())
+    for lo, n in [(1, 4), (2, 3), (3, 3), (0, 6), (5, 1)]:
+        sl = arr.slice(lo, n)
+        exp = np.array([int.from_bytes(
+            hashlib.md5(s.encode()).digest()[8:], "little")
+            for s in ss[lo:lo + n]], np.uint64)
+        assert (_md5_upper_u64(sl) == exp).all(), (lo, n)
+        # large_string slices too (different offset width)
+        sl2 = arr.cast(pa.large_string()).slice(lo, n)
+        assert (_md5_upper_u64(sl2) == exp).all(), (lo, n)

@@ -593,3 +593,40 @@ def test_conversation_digest_matches_exact_rebuild(ray_session):
     want = sorted(exact_dedup_rows(canon, col="canon", id_col="conv_id")
                   .to_pandas()["conv_id"].tolist())
     assert got == want == ["a", "c", "d"]
+
+
+def test_no_deprecation_warnings_from_polars_stages():
+    """Round-4 VERDICT #6 / ADVICE: the polars deprecations
+    (`explode` empty_as_null default flip in 2.0, `is_in` against a
+    same-dtype collection) will change SEMANTICS on upgrade, not just
+    warn.  Pin them explicitly and keep the package warning-free so the
+    next deprecation is loud: every polars-using stage callable runs
+    here with DeprecationWarning escalated to an error."""
+    import warnings
+    import pyarrow as pa
+    from opencep_ray.stages.text import (
+        BPETokenCount, ChunkDocuments, Decontaminate, FamiliarityScore,
+        Fingerprint, LangId, QualityScore, RegexRedact, RepetitionStats,
+        TfIdfTopTerm, TokenDocFreq, _gram_strings, normalize_text)
+    import polars as pl
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the cat sat on the mat", "", "a b c d e f g",
+                 "Zürich café 123 ok!"]})
+    grams = pa.table({"_g": pa.array(["the cat sat"])})
+    counts = pa.table({"tok": pa.array(["the", "a"]),
+                       "n": pa.array([5, 3], pa.int64())})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        QualityScore()(batch)
+        BPETokenCount()(batch)
+        LangId()(batch)
+        RegexRedact()(batch)
+        RepetitionStats()(batch)
+        Fingerprint()(batch)
+        ChunkDocuments(chunk_tokens=4, overlap=1)(batch)
+        Decontaminate(grams, id_col="doc_id")(batch)
+        FamiliarityScore(counts, id_col="doc_id")(batch)
+        normalize_text(batch)
+        _gram_strings(pl.from_arrow(batch), "text", 3)
