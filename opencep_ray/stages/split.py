@@ -44,14 +44,20 @@ _MD5_G = np.array([i for i in range(16)]
                   + [(7 * i) % 16 for i in range(48, 64)], np.intp)
 
 
-def _md5_upper_u64_block(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
+def _md5_upper_u64_block(data: np.ndarray, lens: np.ndarray,
+                         part: str = "upper") -> np.ndarray:
     """Vectorized single-block MD5 over an (n, 64) zero-padded uint8
     matrix of messages with byte lengths ``lens`` (all ≤ 55, so padding
     + the 8-byte bit-length trailer fit in one 512-bit block).  The 64
     MD5 rounds run as numpy uint32 column ops — no per-row Python.
-    Returns ``int.from_bytes(digest[8:], "little")`` per row, i.e. the
-    upper half of the digest = C | (D << 32) in little-endian word
-    order — exactly what DuckDB's ``md5_number_lower`` exposes."""
+
+    ``part="upper"`` returns ``int.from_bytes(digest[8:], "little")``
+    per row, i.e. the upper half of the digest = C | (D << 32) in
+    little-endian word order — exactly what DuckDB's
+    ``md5_number_lower`` exposes.  ``part="first_be"`` returns
+    ``int.from_bytes(digest[:8], "big")`` — the convention
+    ``stages/text.py:stable_token_hash`` pinned for the winnowing
+    fingerprint (= byteswap of A | (B << 32))."""
     n = len(lens)
     m = data.copy()
     m[np.arange(n), lens] = 0x80
@@ -98,6 +104,11 @@ def _md5_upper_u64_block(data: np.ndarray, lens: np.ndarray) -> np.ndarray:
             np.bitwise_or(a, f, out=a)
             a += b
             a, b, c, d = d, a, b, c
+        if part == "first_be":
+            a += np.uint32(0x67452301)
+            b += np.uint32(0xEFCDAB89)
+            return (a.astype(np.uint64)
+                    | (b.astype(np.uint64) << np.uint64(32))).byteswap()
         c += np.uint32(0x98BADCFE)
         d += np.uint32(0x10325476)
     return c.astype(np.uint64) | (d.astype(np.uint64) << np.uint64(32))
@@ -151,6 +162,48 @@ def _md5_upper_u64(arr: pa.Array) -> np.ndarray:
             s, e = int(offsets[i]), int(offsets[i + 1])
             out[i] = int.from_bytes(
                 hashlib.md5(values[s:e].tobytes()).digest()[8:], "little")
+    return out
+
+
+def md5_first_be_u64_slices(values: np.ndarray, starts: np.ndarray,
+                            lens: np.ndarray) -> np.ndarray:
+    """``int.from_bytes(md5(x).digest()[:8], "big")`` for arbitrary byte
+    SLICES ``values[starts[i] : starts[i]+lens[i]]`` of one uint8 buffer
+    — the gather-then-single-block kernel that lets the winnowing
+    fingerprint hash all of a batch's token k-grams without ever
+    materializing the gram strings (k-grams of a space-tokenized text
+    are substrings of the original buffer).  Slices ≤ 55 bytes take the
+    vectorized path; longer ones fall back to per-row hashlib (rare for
+    word-k-grams).  Parity with hashlib is pinned in tests."""
+    import hashlib
+    n = len(starts)
+    out = np.empty(n, np.uint64)
+    short = lens <= 55
+    if short.any():
+        s_starts = starts[short].astype(np.int64, copy=False)
+        s_lens = lens[short].astype(np.int64, copy=False)
+        n_s = len(s_starts)
+        step = 1 << 18
+        res = np.empty(n_s, np.uint64)
+        # pad the source so a fixed 64-byte window starting at any
+        # start index is in bounds; one 2-D fancy gather + mask beats
+        # per-byte repeat/arange scatter indexing
+        pad = np.zeros(len(values) + 64, np.uint8)
+        pad[:len(values)] = values
+        win = np.arange(64)
+        for lo in range(0, n_s, step):
+            hi = min(lo + step, n_s)
+            st, ln = s_starts[lo:hi], s_lens[lo:hi]
+            data = pad[st[:, None] + win]
+            data[win >= ln[:, None]] = 0
+            res[lo:hi] = _md5_upper_u64_block(data, ln, part="first_be")
+        out[short] = res
+    if not short.all():
+        for i in np.flatnonzero(~short):
+            s = int(starts[i])
+            out[i] = int.from_bytes(
+                hashlib.md5(values[s:s + int(lens[i])].tobytes())
+                .digest()[:8], "big")
     return out
 
 

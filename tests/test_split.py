@@ -155,3 +155,29 @@ def test_md5_kernel_sliced_array():
         # large_string slices too (different offset width)
         sl2 = arr.cast(pa.large_string()).slice(lo, n)
         assert (_md5_upper_u64(sl2) == exp).all(), (lo, n)
+
+
+def test_md5_first_be_slices_parity_with_hashlib():
+    """`md5_first_be_u64_slices` (the Fingerprint gram-hash kernel) must
+    equal int.from_bytes(md5(slice).digest()[:8], 'big') for arbitrary
+    overlapping byte slices of one buffer, covering the ≤55-byte
+    vectorized path and the long-slice hashlib fallback."""
+    import hashlib
+    import random
+    import numpy as np
+    from opencep_ray.stages.split import md5_first_be_u64_slices
+    rng = random.Random(11)
+    buf = np.frombuffer(
+        bytes(rng.randrange(256) for _ in range(4000)), np.uint8)
+    starts, lens = [], []
+    for _ in range(500):
+        ln = rng.choice([0, 1, 5, 20, 54, 55, 56, 70, 120])
+        starts.append(rng.randrange(0, len(buf) - 130))
+        lens.append(ln)
+    starts = np.array(starts, np.int64)
+    lens = np.array(lens, np.int64)
+    got = md5_first_be_u64_slices(buf, starts, lens)
+    exp = np.array([int.from_bytes(
+        hashlib.md5(buf[s:s + l].tobytes()).digest()[:8], "big")
+        for s, l in zip(starts, lens)], np.uint64)
+    assert (got == exp).all()

