@@ -878,22 +878,40 @@ def conversation_digest_ids(ds: Dataset, key: str = "conv_id",
     self-cancellation cannot occur because ``order_col`` is unique
     within a conversation, making every hashed pair distinct.  Use
     :func:`ordered_collect` + :func:`exact_dedup_rows` when the
-    canonical transcript itself is needed downstream."""
+    canonical transcript itself is needed downstream.
+
+    Precondition: two conversations are equal iff their
+    ``(order_col, col)`` MULTISETS are equal — i.e. ``order_col`` is a
+    canonical position label (the transcripts contract: consecutive
+    0-based ``turn_idx``).  Conversations with identical text sequences
+    under a DIFFERENT numbering (e.g. 3,7 vs 0,1) digest apart even
+    though a separator-joined rebuild would collide them; that is
+    deliberate, since rank-normalizing across batch fragments would
+    need exactly the global per-conversation sort this stage exists to
+    avoid.
+
+    Turn hashes come from the repo's own splitmix64/word-fold kernel
+    (`split.py:stable_str_hash_u64` — pinned constants, pinned-value
+    test), NOT polars ``.hash()``, whose value may change across polars
+    versions: stored digests survive environment upgrades, so
+    incremental dedup against a persisted digest table is safe."""
     from .partition import with_key_part
+    from .split import mix64, stable_str_hash_u64
 
     def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
         if batch.num_rows == 0:
             return pa.table({key: batch[key].slice(0, 0),
                              "_x": pa.array([], pa.uint64()),
                              "_n": pa.array([], pa.int64())})
-        df = (pl.from_arrow(batch.select([key, order_col, col]))
-              .sort(key)
-              .select(pl.col(key),
-                      pl.struct([order_col, col]).hash(seed=11)
-                      .alias("_h")))
-        keys = df[key].to_numpy()
-        vals = df["_h"].to_numpy()
+        # version-stable turn hash: mix(text_hash ^ mix(order+1))
+        order_u64 = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = mix64(stable_str_hash_u64(batch[col])
+                  ^ mix64(order_u64 + np.uint64(1), salt=13), salt=7)
+        # group per key WITHOUT moving text: sort (key, hash) pairs only
+        sort_idx = pc.sort_indices(batch[key]).to_numpy()
+        keys = batch[key].to_numpy(zero_copy_only=False)[sort_idx]
+        vals = h[sort_idx]
         starts, xors, n = _xor_by_key(keys, vals)
         out = pa.table({key: pa.array(keys[starts]),
                         "_x": pa.array(xors, pa.uint64()),

@@ -236,6 +236,85 @@ def mix64(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     return h
 
 
+_NULL_SENTINEL = np.uint64(0x6E756C6C5F736E74)  # "null_snt"
+
+
+def stable_str_hash_u64(col, salt: int = 0) -> np.ndarray:
+    """Version-stable vectorized 64-bit hash of arbitrary-length
+    strings.  Each string's UTF-8 bytes are viewed as little-endian
+    uint64 words (zero-padded tail), every word is mixed with its
+    position via the splitmix64 finalizer, the mixes are XOR-folded per
+    string, and the fold is finalized with the byte length.  Pure numpy
+    with pinned constants — unlike polars' ``.hash()`` (whose value may
+    change across polars versions), these digests are safe to STORE and
+    compare across runs and environment upgrades (pinned-constant test
+    in tests/test_split.py).  Collision probability is the usual
+    ~n²/2⁻⁶⁴ birthday bound; position mixing makes permuted word orders
+    distinct, and the length finalizer distinguishes zero-padded tails
+    from real NUL bytes.  Nulls hash to a fixed sentinel distinct from
+    the empty string."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    elif pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], np.int64,
+                            count=n + 1, offset=8 * arr.offset)
+    values = np.frombuffer(arr.buffers()[2], np.uint8,
+                           count=int(offsets[-1]))
+    if offsets[0]:
+        values = values[int(offsets[0]):]
+        offsets = offsets - offsets[0]
+    lens = np.diff(offsets)
+    if arr.null_count:
+        lens = np.where(arr.is_null().to_numpy(zero_copy_only=False),
+                        0, lens)
+    starts = offsets[:-1]
+    w = (lens + 7) >> 3                      # words per string
+    cum = np.cumsum(w)
+    total_w = int(cum[-1])
+    fold = np.zeros(n, np.uint64)
+    if total_w:
+        # All words of one string share the alignment starts[i] & 7, so
+        # eight passes (one per alignment) gather whole uint64 words
+        # with a single 1-D fancy index each — no per-byte scatter.
+        pad = np.zeros(((len(values) + 15) >> 3) << 3, np.uint8)
+        pad[:len(values)] = values
+        views = [pad[a:a + ((len(pad) - 8) & ~7)].view("<u8")
+                 for a in range(8)]
+        seg = np.repeat(np.arange(n), w)
+        wpos = np.arange(total_w) - np.repeat(cum - w, w)
+        words = np.empty(total_w, np.uint64)
+        word0 = starts >> 3                  # word index in views[a]
+        align = (starts & 7).astype(np.int8)
+        align_w = align[seg]
+        for a in range(8):
+            sel = np.flatnonzero(align_w == a)
+            if len(sel):
+                words[sel] = views[a][word0[seg[sel]] + wpos[sel]]
+        # zero the padding bytes of each string's last word
+        rem = lens & 7
+        tail = np.flatnonzero(rem[seg] != 0) if (rem != 0).any() else []
+        if len(tail):
+            last = tail[wpos[tail] == w[seg[tail]] - 1]
+            mask = (np.uint64(1) << (np.uint64(8) *
+                                     rem[seg[last]].astype(np.uint64))) \
+                - np.uint64(1)
+            words[last] &= mask
+        mixed = mix64(words ^ mix64(wpos.astype(np.uint64) + np.uint64(1)))
+        live = np.flatnonzero(w > 0)
+        run_starts = (cum - w)[live]
+        fold[live] = np.bitwise_xor.reduceat(mixed, run_starts)
+    h = mix64(fold ^ lens.astype(np.uint64) ^ _C2, salt)
+    if arr.null_count:
+        h = np.where(arr.is_null().to_numpy(zero_copy_only=False),
+                     mix64(np.full(n, _NULL_SENTINEL), salt), h)
+    return h
+
+
 def bucket_of(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """Deterministic bucket in [0, 1e6) per key."""
     return (mix64(keys, salt) % np.uint64(_BUCKETS)).astype(np.int64)
