@@ -199,11 +199,24 @@ class TfIdfTopTerm:
     dropped."""
 
     def __init__(self, df_ref, n_docs: int, col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", missing_df: float | None = None):
+        """``missing_df``: df value imputed for tokens ABSENT from the
+        broadcast table (left join instead of inner).  This is what makes
+        ``min_df=2`` pruning LOSSLESS for top-term selection: with the
+        table built at ``min_df=2``, a token missing from it has global
+        df == 1 exactly (it survived no census row with df >= 2), so
+        imputing ``missing_df=1`` reproduces the unpruned score
+        ``tf * (N / 1)`` bit-for-bit while the broadcast drops the
+        singleton tail — the bulk of a web-scale vocabulary (Heaps' law).
+        Only valid for ``min_df <= 2``; with ``min_df > 2`` an absent
+        token may have df in [1, min_df) and no single imputation is
+        exact.  ``None`` (default) keeps the historical inner-join
+        behavior: absent tokens are ignored."""
         self.df_ref = df_ref            # ray.put of a pyarrow Table
         self.n_docs = float(n_docs)
         self.col = col
         self.id_col = id_col
+        self.missing_df = missing_df
         self._df = None
 
     def _df_frame(self):
@@ -224,11 +237,14 @@ class TfIdfTopTerm:
             .select(self.id_col, "_t").explode("_t", empty_as_null=True)
             .group_by([self.id_col, "_t"]).agg(pl.len().alias("_tf"))
             .rename({"_t": "token"}))
-        scored = (tf.join(self._df_frame(), on="token", how="inner")
+        how = "inner" if self.missing_df is None else "left"
+        dff = pl.col("df").cast(pl.Float64)
+        if self.missing_df is not None:
+            dff = dff.fill_null(float(self.missing_df))
+        scored = (tf.join(self._df_frame(), on="token", how=how)
                   .with_columns(
                       (pl.col("_tf").cast(pl.Float64)
-                       * (pl.lit(self.n_docs) / pl.col("df")
-                          .cast(pl.Float64))).alias("score"))
+                       * (pl.lit(self.n_docs) / dff)).alias("score"))
                   .sort(["score", "token"], descending=[True, False])
                   .group_by(self.id_col, maintain_order=True).head(1)
                   .sort(self.id_col))

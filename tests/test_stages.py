@@ -140,29 +140,60 @@ def test_multimodal_plumbing(ray_session):
     from opencep_ray.stages.multimodal import (DecodeImage, FrameSample,
                                                decode_features, synth_media)
     media = synth_media(32, seed=2)
-    out = decode_features(rd.from_arrow(media), batch_size=8).to_pandas()
+    out = decode_features(rd.from_arrow(media), batch_size=8,
+                          stub_features=True).to_pandas()
     assert len(out) == 32
     assert len(out.features.iloc[0]) == DecodeImage.FEATURE_DIM
     assert "payload" not in out.columns       # binary dropped post-decode
     # deterministic features
-    out2 = decode_features(rd.from_arrow(media), batch_size=16).to_pandas()
+    out2 = decode_features(rd.from_arrow(media), batch_size=16,
+                           stub_features=True).to_pandas()
     assert out.features.iloc[0] == pytest.approx(out2.features.iloc[0])
-    # real decode is an explicit stub
-    with pytest.raises(NotImplementedError):
-        DecodeImage(real_decode=True).features(b"xx")
+    # opaque (non-PPM) payloads on the real-decode path raise loudly
+    with pytest.raises(ValueError, match="not binary PPM"):
+        DecodeImage().decode(b"\x89PNG....")
     frames = rd.from_arrow(media).map_batches(
         FrameSample(n_frames=3), batch_format="pyarrow").to_pandas()
     assert len(frames) == 96
 
 
+def test_multimodal_real_ppm_decode(ray_session):
+    """Round-4 VERDICT ask #5: DecodeImage really decodes binary PPM —
+    header parse, pixel offset, channel interleave, reductions — checked
+    against an independent per-image recomputation of the deterministic
+    pixel stream (the DuckDB oracle in queries.py re-derives the same
+    sums from first principles at sf scale)."""
+    import ray.data as rd
+    from opencep_ray.stages.multimodal import (
+        PIX_A, PIX_B, PIX_C, decode_features, ppm_dims, synth_ppm_batch)
+    ids = pa.table({"doc_id": pa.array([0, 1, 7, 123, 4096], pa.int64())})
+    media = synth_ppm_batch(ids)
+    # the payloads are genuine PPM: header + w*h*3 pixel bytes
+    p0 = media["payload"][1].as_py()
+    assert p0.startswith(b"P6\n5 7\n255\n")
+    assert len(p0) == len(b"P6\n5 7\n255\n") + 5 * 7 * 3
+    out = decode_features(rd.from_arrow(media), batch_size=2).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    for i, mid in enumerate([0, 1, 7, 123, 4096]):
+        w, h = ppm_dims(np.array([mid]))
+        w, h = int(w[0]), int(h[0])
+        j = np.arange(w * h * 3, dtype=np.int64)
+        v = (mid * PIX_A + j * PIX_B + PIX_C) % 256
+        assert out.width[i] == w and out.height[i] == h
+        assert out.r_sum[i] == v[0::3].sum()
+        assert out.g_sum[i] == v[1::3].sum()
+        assert out.b_sum[i] == v[2::3].sum()
+
+
 def test_multimodal_stub_pinned_values():
-    """The deterministic fake decode has no SQL oracle (no codecs in the
-    container), so pin its exact output for seed 2: any regression in the
-    blake2b-derived feature path fails here (VERDICT r2 item 7)."""
+    """The deterministic fake-feature path (for opaque payloads whose
+    codec isn't available) pins its exact output for seed 2: any
+    regression in the blake2b-derived features fails here (VERDICT r2
+    item 7)."""
     import hashlib
     from opencep_ray.stages.multimodal import DecodeImage, synth_media
     media = synth_media(4, seed=2)
-    d = DecodeImage()
+    d = DecodeImage(stub_features=True)
     f0 = d.features(media["payload"][0].as_py())
     assert [round(float(v), 8) for v in f0[:4]] == \
         [0.62337613, 0.96101189, 0.47200775, 0.27689466]
@@ -417,6 +448,34 @@ def test_tfidf_top_term_hand_values(ray_session):
     # d2: tie b,c at 1.5 -> token asc picks b
     # d3: c -> 3*1.5=4.5
     assert got == {1: ("a", 6.0), 2: ("b", 1.5), 3: ("c", 4.5)}
+
+
+def test_tfidf_min_df2_imputation_is_lossless(ray_session):
+    """Round-4 VERDICT ask #8: with the DF table built at min_df=2, a
+    broadcast miss has global df == 1 exactly, so TfIdfTopTerm's
+    missing_df=1 imputation must reproduce the UNPRUNED result
+    bit-for-bit — including documents whose top term IS a singleton
+    (max-IDF) token, the case a naive prune would corrupt."""
+    import ray
+    import ray.data as rd
+    from opencep_ray.stages.text import TfIdfTopTerm, build_df_table
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["zebra common common", "common other", "other xyzzy",
+                 "", "qq qq common"]})
+    docs = rd.from_arrow(batch)
+    full = build_df_table(docs, min_df=1)
+    pruned = build_df_table(docs, min_df=2)
+    # the prune really dropped the singleton tail
+    assert set(full["token"].to_pylist()) - \
+        set(pruned["token"].to_pylist()) == {"zebra", "xyzzy", "qq", ""}
+    exact = TfIdfTopTerm(ray.put(full), 5)(batch)
+    lossless = TfIdfTopTerm(ray.put(pruned), 5, missing_df=1)(batch)
+    assert lossless.equals(exact)
+    # and singleton tokens do win where they should (tf*N/1 dominates)
+    got = dict(zip(lossless["doc_id"].to_pylist(),
+                   lossless["top_term"].to_pylist()))
+    assert got[1] == "zebra" and got[3] == "xyzzy" and got[5] == "qq"
 
 
 def test_build_df_table_min_df_and_vocab_cap(ray_session):
