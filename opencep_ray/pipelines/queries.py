@@ -2517,77 +2517,40 @@ def _round_col(ds, col: str, digits: int):
 
 
 # Ordering note: the driver's correctness gate runs the FIRST 50 entries of
-# this dict (observed cap in CORRECTNESS_r01..r03).  Queries that have never
-# had a driver row (absent from CORRECTNESS_r03) are listed first so round 4
-# gets them driver-verified; the long-green CEP rows (12 green driver rows
-# each across r01-r03) are listed last and are covered by the identical
-# DuckDB gate in tests/test_queries_oracle.py.
+# this dict (observed cap in CORRECTNESS_r01..r04).  Round-5 rule (ADVICE
+# r04, medium): every query whose CODE PATH changed since the last driver
+# gate sits INSIDE the window — a green row from a previous round does not
+# verify changed code.  Position 51+ holds only queries whose implementation
+# is untouched since their last green row; all 71 remain covered by the
+# identical DuckDB gate in tests/test_queries_oracle.py either way.
 QUERIES = {
-    # --- never driver-checked before round 4 (VERDICT r03 ask #1) ---
+    # --- round-5 code changes (must re-gate) ---
+    # vectorized-MD5 kernel rebase (split.py) + orphan-sink reclaim fix
     "curate_split_sink": curate_split_sink,
-    "range_click_errors": range_click_errors,
     "sample_stratified": sample_stratified,
     "split_assign": split_assign,
     "split_by_source": split_by_source,
-    "stats_heavy_hitters": stats_heavy_hitters,
-    "stats_quantiles": stats_quantiles,
-    "stats_quantiles_approx": stats_quantiles_approx,  # new round 4
-    "stats_distinct_approx": stats_distinct_approx,    # new round 4
-    "doc_chunks": doc_chunks,                          # new round 4
-    "decontaminate": decontaminate,                    # new round 4
-    "transcripts_boilerplate": transcripts_boilerplate,  # new round 4
-    "dedup_conversations": dedup_conversations,          # new round 4
-    "doc_familiarity": doc_familiarity,                  # new round 4
-    "text_normalize": text_normalize,                    # new round 4
-    "dedup_conversations_digest": dedup_conversations_digest,  # new r4
-    "conv_wellformed": conv_wellformed,                  # new round 4
-    "transcripts_curate": transcripts_curate,            # new round 4
+    # approx sketches now emit exact+bound_ok with SQL oracles (r4 ask #4)
+    "stats_quantiles_approx": stats_quantiles_approx,
+    "stats_distinct_approx": stats_distinct_approx,
+    # real PPM decode, hash-gated (r4 ask #5)
     "multimodal_decode": multimodal_decode,
-    "rel_pricing": rel_pricing,
-    "rel_segment_revenue": rel_segment_revenue,
-    # semantics changed in round 4 (AND-in-SEQ total order, matching the
-    # reference's SeqNode full merged-order validation) — needs a fresh
-    # driver row under the new semantics
-    "cep_nested": cep_nested,
-    # --- driver-checked green in r03 ---
-    "window_tumbling": window_tumbling,
-    "window_session": window_session,
-    "transcripts_session": transcripts_session,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram": dedup_ngram,
-    "dedup_minhash": dedup_minhash,
-    "dedup_minhash_cc": dedup_minhash_cc,
-    "dedup_simhash": dedup_simhash,
-    "curate_documents": curate_documents,
-    "curate_near_dup": curate_near_dup,
-    "text_stats": text_stats_q,
-    "text_tokens": text_tokens,
-    "pack_shards": pack_shards,
-    "pack_shards_greedy": pack_shards_greedy,
-    "event_gaps": event_gaps,
-    "rolling_value": rolling_value,
-    "users_per_type": users_per_type,
-    "turn_renumber": turn_renumber,
-    "conv_role_seq": conv_role_seq,
-    "doc_length_rank": doc_length_rank,
-    "latest_event_per_user": latest_event_per_user,
-    "top_docs_per_source": top_docs_per_source,
-    "vocab_df": vocab_df,
-    "filter_quality_quantile": filter_quality_quantile,
+    # lossless min_df=2 + missing_df imputation (r4 ask #8)
     "doc_top_term": doc_top_term,
-    "text_quality": text_quality,
-    "text_redact": text_redact,
-    # streaming-engine gate: only ONE driver row so far (r03) — keep it
-    # inside the driver's 50-query window ahead of the 3-row CEP core
+    # vectorized Fingerprint (r4 ask #2; curate_documents composes it)
+    "text_fingerprint": text_fingerprint,
+    "curate_documents": curate_documents,
+    # version-stable splitmix64 digest (r4 ask #3)
+    "dedup_conversations_digest": dedup_conversations_digest,
+    # polars is_in/empty_as_null pins (ADVICE r04)
+    "decontaminate": decontaminate,
+    "text_normalize": text_normalize,
+    # orphan-sink reclaim PermissionError fix lives in this query
     "cep_stream_seq2": cep_stream_seq2,
-    # position 51+: the driver covers the first 50; everything below
-    # keeps its green r01-r03 rows and the identical pytest DuckDB gate
-    "text_repetition": text_repetition,  # green r03
-    "ann_topk": ann_topk,               # green r03
-    "ann_lsh": ann_lsh_q,               # green r03
-    "ann_ivf": ann_ivf_q,               # green r03
-    "sink_roundtrip": sink_roundtrip,   # green r03
-    # --- long-green CEP rows last (green in r01+r02+r03; oracled in pytest) ---
+    # --- round-4 code changes whose green rows predate the change
+    # (ADVICE r04 medium: evaluator precedence rewrite -> all cep_*;
+    # joins.py _PerKeyRuns + broadcast probe -> asof_*; window_sliding;
+    # dedup_embedding) ---
     "cep_seq2": cep_seq2,
     "cep_seq3": cep_seq3,
     "cep_and": cep_and,
@@ -2596,14 +2559,59 @@ QUERIES = {
     "cep_or": cep_or,
     "cep_contiguity": cep_contiguity,
     "cep_hypercube": cep_hypercube,
+    "cep_nested": cep_nested,
     "cep_transcripts_seq2": cep_transcripts_seq2,
     "cep_transcripts_negation": cep_transcripts_negation,
-    "asof_purchase": asof_purchase,     # green r03
-    "asof_purchase_broadcast": asof_purchase_broadcast,  # green r03
-    "window_sliding": window_sliding,   # 3 green rounds (r01-r03)
-    "text_fingerprint": text_fingerprint,  # 3 green rounds (r01-r03)
-    "dedup_embedding": dedup_embedding,    # 3 green rounds (r01-r03)
-    "text_langid": text_langid,            # 3 green rounds (r01-r03)
+    "asof_purchase": asof_purchase,
+    "asof_purchase_broadcast": asof_purchase_broadcast,
+    "window_sliding": window_sliding,
+    "dedup_embedding": dedup_embedding,
+    # --- unchanged since their r04 green row (freshest coverage first) ---
+    "stats_heavy_hitters": stats_heavy_hitters,
+    "stats_quantiles": stats_quantiles,
+    "doc_chunks": doc_chunks,
+    "transcripts_boilerplate": transcripts_boilerplate,
+    "dedup_conversations": dedup_conversations,
+    "doc_familiarity": doc_familiarity,
+    "conv_wellformed": conv_wellformed,
+    "transcripts_curate": transcripts_curate,
+    "rel_pricing": rel_pricing,
+    "rel_segment_revenue": rel_segment_revenue,
+    "range_click_errors": range_click_errors,
+    "window_tumbling": window_tumbling,
+    "window_session": window_session,
+    "transcripts_session": transcripts_session,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram": dedup_ngram,
+    "dedup_minhash": dedup_minhash,
+    "dedup_minhash_cc": dedup_minhash_cc,
+    "dedup_simhash": dedup_simhash,
+    "curate_near_dup": curate_near_dup,
+    "text_stats": text_stats_q,
+    # position 51+: the driver covers the first 50; everything below is
+    # UNCHANGED code with green rows from r03/r04 plus the identical
+    # pytest DuckDB gate
+    "text_tokens": text_tokens,          # green r03+r04
+    "pack_shards": pack_shards,          # green r03+r04
+    "pack_shards_greedy": pack_shards_greedy,  # green r03+r04
+    "event_gaps": event_gaps,            # green r03+r04
+    "rolling_value": rolling_value,      # green r03+r04
+    "users_per_type": users_per_type,    # green r03+r04
+    "turn_renumber": turn_renumber,      # green r03+r04
+    "conv_role_seq": conv_role_seq,      # green r03+r04
+    "doc_length_rank": doc_length_rank,  # green r03+r04
+    "latest_event_per_user": latest_event_per_user,  # green r03+r04
+    "top_docs_per_source": top_docs_per_source,      # green r03+r04
+    "vocab_df": vocab_df,                # green r03+r04
+    "filter_quality_quantile": filter_quality_quantile,  # green r03+r04
+    "text_quality": text_quality,        # green r03+r04
+    "text_redact": text_redact,          # green r03+r04
+    "text_repetition": text_repetition,  # green r03
+    "ann_topk": ann_topk,               # green r03
+    "ann_lsh": ann_lsh_q,               # green r03
+    "ann_ivf": ann_ivf_q,               # green r03
+    "sink_roundtrip": sink_roundtrip,   # green r03+r04
+    "text_langid": text_langid,         # green r01-r03
 }
 
 ORACLES = {
