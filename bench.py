@@ -120,7 +120,8 @@ def q_cep_stream():
     stats = s.run_files(
         files, out,
         micro_batch_rows=int(os.environ.get("GRAFT_MB_ROWS", "300000")),
-        max_in_flight=int(os.environ.get("GRAFT_MAX_IN_FLIGHT", "8")))
+        max_in_flight=int(os.environ.get("GRAFT_MAX_IN_FLIGHT", "8")),
+        sample_every=int(os.environ.get("GRAFT_SAMPLE_EVERY", "0")))
     global LAST_STREAM_STATS
     LAST_STREAM_STATS = stats
     print(f"cep_stream detail: {stats}", file=sys.stderr)

@@ -753,7 +753,11 @@ def build_boilerplate_set(corpus, *, col: str = "text", min_count: int = 5,
             f"over max_banned={max_banned} — this set broadcasts to every "
             "actor; raise min_count or switch to the hash-partition "
             "anti-join path.")
-    tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    pdf = counts.to_pandas()
+    if col not in pdf.columns:   # empty census loses its schema in the
+        # pandas round-trip; nothing met min_count
+        return pa.table({col: pa.array([], pa.string())})
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
     return tbl.select([col])
 
 

@@ -447,6 +447,13 @@ class _StreamWorker:
     def stats(self) -> dict:
         import resource
         ru = resource.getrusage(resource.RUSAGE_SELF)
+        try:  # CURRENT resident set (ru_maxrss is the monotone peak —
+            # useless for flat-memory evidence)
+            with open("/proc/self/statm") as f:
+                rss_mb = int(f.read().split()[1]) * \
+                    (os.sysconf("SC_PAGESIZE") / 1_048_576)
+        except OSError:           # non-Linux fallback
+            rss_mb = ru.ru_maxrss / 1024
         return {"rows": self.core.rows_processed,
                 "busy_sec": round(self.core.busy_sec, 3),
                 "cpu_sec": round(self.core.cpu_sec, 3),
@@ -456,6 +463,7 @@ class _StreamWorker:
                 "stime": round(ru.ru_stime, 3),
                 "minflt": ru.ru_minflt,
                 "nivcsw": ru.ru_nivcsw,
+                "rss_mb": round(rss_mb, 1),
                 "live_conversations": len(self.core.evaluators),
                 "shed_partials": sum(ev.shed_count for ev in
                                      self.core.evaluators.values())}
@@ -761,7 +769,16 @@ class StreamingCEP:
     # -- run ----------------------------------------------------------------
     def run_files(self, files: Sequence[str], output_dir: str,
                   micro_batch_rows: int = 100_000,
-                  resume: bool = True, max_in_flight: int = 4) -> dict:
+                  resume: bool = True, max_in_flight: int = 4,
+                  sample_every: int = 0) -> dict:
+        """``sample_every > 0`` additionally snapshots per-worker
+        (live_conversations, rss_mb, rows) every N micro-batches —
+        enqueued on the actor queues right after that batch's work, so
+        each sample reflects state as-of its batch — and returns them
+        under ``"samples"``.  This is the soak/flat-memory evidence hook
+        (round-4 VERDICT asks #1/#7): a healthy watermark-evicting run
+        shows live state and RSS plateauing, not tracking stream
+        position."""
         import time as _time
         t_start = _time.perf_counter()
         os.makedirs(output_dir, exist_ok=True)
@@ -809,6 +826,7 @@ class StreamingCEP:
         # snapshot would).  Output writes + manifest commits happen at
         # drain time, strictly in batch order.
         in_flight: List[tuple] = []  # (batch_id, refs, wm_refs, snap_refs)
+        sample_refs: List[tuple] = []  # (batch_id, [stats refs])
         last_ck_scheduled = start_after
         n_batches = 0
         n_replans = 0
@@ -933,6 +951,9 @@ class StreamingCEP:
             if (batch_id - last_ck_scheduled) >= self.checkpoint_every:
                 snap_refs = [w.snapshot.remote() for w in workers]
                 last_ck_scheduled = batch_id
+            if sample_every and (batch_id + 1) % sample_every == 0:
+                sample_refs.append(
+                    (batch_id, [w.stats.remote() for w in workers]))
             in_flight.append((batch_id, refs, wm_refs, snap_refs))
             n_batches += 1
             while len(in_flight) >= max_in_flight:
@@ -942,6 +963,14 @@ class StreamingCEP:
 
         # end of stream: flush pending unbounded-negation matches
         ray.get([w.eos.remote(999_999) for w in workers])
+        samples = [{"batch_id": b,
+                    "rows": sum(s["rows"] for s in ss),
+                    "live_conversations": sum(s["live_conversations"]
+                                              for s in ss),
+                    "rss_mb_max": max(s["rss_mb"] for s in ss),
+                    "rss_mb_sum": round(sum(s["rss_mb"] for s in ss), 1)}
+                   for b, ss in ((b, ray.get(refs))
+                                 for b, refs in sample_refs)]
         stats = ray.get([w.stats.remote() for w in workers])
         # per-partition lineage + metrics (north rule)
         _atomic_write_json(os.path.join(output_dir, "metrics.json"), {
@@ -965,6 +994,7 @@ class StreamingCEP:
                 "rows": sum(s["rows"] for s in stats),
                 "live_conversations": sum(s["live_conversations"]
                                           for s in stats),
+                "samples": samples,
                 "workers": self.num_workers,
                 "setup_sec": round(t_ready - t_start, 3),
                 "stream_sec": round(t_done - t_ready, 3),
