@@ -1,6 +1,11 @@
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running soak/scale tests")
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray

@@ -603,3 +603,41 @@ def test_simultaneous_replan_unbounded_negation_end_to_end(
     st = s1.run_files([p], sim_dir, micro_batch_rows=100)
     assert st["replans"] >= 1
     assert canonical(read_matches(sim_dir)) == want
+
+
+@pytest.mark.slow
+def test_soak_bounded_memory_and_state(ray_session, tmp_path):
+    """Standing soak regression guard (round-4 VERDICT ask #7): a
+    sustained micro-batched run with per-batch sampling must show live
+    evaluator state and worker RSS PLATEAUING, not tracking stream
+    position.  Uses the bench flagship's key-contiguous recycling (the
+    same mechanism the 10x smoke evidences at 80M turns); the
+    ts-ordered watermark variant is covered by
+    test_ts_ordered_watermark_eviction_bounds_state."""
+    table = synth_transcripts(20_000, 12, seed=44)
+    d = tmp_path / "soak_in"
+    d.mkdir()
+    p = str(d / "part-0.parquet")
+    pq.write_table(table, p)
+
+    out = str(tmp_path / "soak_out")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                     checkpoint_every=10 ** 9, key_contiguous_input=True)
+    stats = s.run_files([p], out, micro_batch_rows=6_000,
+                        sample_every=4)
+    samples = stats["samples"]
+    assert len(samples) >= 6, stats
+    for smp in samples:
+        assert {"batch_id", "rows", "live_conversations", "rss_mb_max",
+                "rss_mb_sum"} <= set(smp)
+        # bounded state: live evaluators stay a small multiple of the
+        # conversations present in one micro-batch (~500), never the
+        # ~k*batch conversations already streamed past
+        assert smp["live_conversations"] < 4_000, smp
+    # flat memory: the last sample's worker RSS must not exceed the
+    # early-run level by more than a generous allocator-noise margin
+    early = max(s_["rss_mb_max"] for s_ in samples[:3])
+    late = samples[-1]["rss_mb_max"]
+    assert late <= early * 1.35 + 64, (early, late, samples)
+    # and the run's final live count reflects recycling too
+    assert stats["live_conversations"] < 4_000, stats
