@@ -30,8 +30,13 @@ SCHEMA = pa.schema([
 
 def synth_transcripts(n_convs: int = 100, avg_turns: int = 20,
                       seed: int = 42, start_us: int = 1_700_000_000_000_000,
-                      tie_prob: float = 0.15) -> pa.Table:
-    """Generates ``n_convs`` conversations with ~``avg_turns`` turns each."""
+                      tie_prob: float = 0.15, conv_offset: int = 0) -> pa.Table:
+    """Generates ``n_convs`` conversations with ~``avg_turns`` turns each.
+
+    ``conv_offset`` shifts the numeric part of ``conv_id`` so independent
+    shards (see :func:`write_transcripts_sharded`) produce globally unique
+    conversation ids.  The default 0 keeps output bit-identical to the
+    original single-shot generator (md5-pinned in tests)."""
     rng = np.random.RandomState(seed)
     turns = rng.randint(max(2, avg_turns // 2), avg_turns * 3 // 2 + 1,
                         size=n_convs)
@@ -75,9 +80,13 @@ def synth_transcripts(n_convs: int = 100, avg_turns: int = 20,
     # original np.char formatting (pinned in tests).
     import pyarrow.compute as pc
     v = rng.randint(0, 100, size=total)
+    if conv_offset + n_convs > 10_000_000:
+        raise ValueError("conv_id is 7 digits: conv_offset + n_convs must "
+                         "stay below 10M")
     conv_ids = pc.binary_join_element_wise(
         pa.scalar("c"),
-        pc.utf8_lpad(pc.cast(pa.array(conv_ord), pa.string()), 7, "0"),
+        pc.utf8_lpad(pc.cast(pa.array(conv_ord + conv_offset), pa.string()),
+                     7, "0"),
         pa.scalar(""))
     texts = pc.binary_join_element_wise(
         pa.scalar("msg "),
@@ -123,3 +132,56 @@ def write_transcripts(path: str, n_convs: int, avg_turns: int = 20,
         pq.write_table(chunk, os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
     return n
+
+
+def _synth_shard(path: str, shard: int, conv_lo: int, n_convs: int,
+                 avg_turns: int, seed: int, rows_per_file: int) -> int:
+    """Generates one conversation range and writes its parquet file(s).
+    Runs either inline or as a Ray task — pure function of its args."""
+    import os
+
+    import pyarrow.parquet as pq
+    table = synth_transcripts(n_convs, avg_turns,
+                              seed=seed + 1_000_003 * (shard + 1),
+                              conv_offset=conv_lo)
+    for j, lo in enumerate(range(0, table.num_rows, rows_per_file)):
+        pq.write_table(
+            table.slice(lo, rows_per_file),
+            os.path.join(path, f"shard-{shard:04d}-{j:03d}.parquet"))
+    return table.num_rows
+
+
+def write_transcripts_sharded(path: str, n_convs: int, avg_turns: int = 20,
+                              seed: int = 42,
+                              convs_per_shard: int = 100_000,
+                              rows_per_file: int = 500_000) -> int:
+    """Parallel deterministic generation for large corpora.
+
+    Each shard of ``convs_per_shard`` conversations is generated by an
+    independent, fixed-seed RNG stream (seed + 1000003·(shard+1)) with a
+    ``conv_offset`` making conversation ids globally unique, so the output
+    is a pure function of (n_convs, avg_turns, seed, convs_per_shard) —
+    identical whether shards run sequentially or as parallel Ray tasks,
+    and at any parallelism level.  NOT bit-identical to
+    :func:`write_transcripts` (different RNG stream); the single-shot
+    writer stays canonical for oracle fixtures.  This is the 100 TB-shaped
+    path: no whole-table driver materialization — each shard is built and
+    written by its own worker."""
+    import os
+    os.makedirs(path, exist_ok=True)
+    shards = [(i, lo, min(convs_per_shard, n_convs - lo))
+              for i, lo in enumerate(range(0, n_convs, convs_per_shard))]
+    try:
+        import ray
+        use_ray = ray.is_initialized() and len(shards) > 1
+    except ImportError:  # pragma: no cover - ray is always present here
+        use_ray = False
+    if use_ray:
+        fn = ray.remote(num_cpus=1)(_synth_shard)
+        counts = ray.get([
+            fn.remote(path, i, lo, cnt, avg_turns, seed, rows_per_file)
+            for i, lo, cnt in shards])
+    else:
+        counts = [_synth_shard(path, i, lo, cnt, avg_turns, seed,
+                               rows_per_file) for i, lo, cnt in shards]
+    return int(sum(counts))

@@ -38,3 +38,62 @@ def test_schema_and_invariants():
                 == np.arange(len(g), dtype=np.int32)).all()
     # tool set only on tool turns
     assert (df["tool"].notna() == (df["role"] == "tool")).all()
+
+
+def test_sharded_writer_deterministic_and_unique(tmp_path, ray_session):
+    """write_transcripts_sharded: same bytes whether shards run inline or
+    as Ray tasks; globally unique conv_ids; canonical schema."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from opencep_ray.sources.transcripts import (SCHEMA,
+                                                 write_transcripts_sharded)
+
+    def run(sub, force_inline):
+        d = tmp_path / sub
+        if force_inline:
+            import ray
+            import opencep_ray.sources.transcripts as tr
+            real = ray.is_initialized
+            ray.is_initialized = lambda: False
+            try:
+                n = write_transcripts_sharded(str(d), 250, avg_turns=6,
+                                              seed=9, convs_per_shard=100,
+                                              rows_per_file=300)
+            finally:
+                ray.is_initialized = real
+        else:
+            n = write_transcripts_sharded(str(d), 250, avg_turns=6, seed=9,
+                                          convs_per_shard=100,
+                                          rows_per_file=300)
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        h = hashlib.md5()
+        tables = []
+        for f in files:
+            t = pq.read_table(f)
+            tables.append(t)
+            for col in t.column_names:
+                h.update(str(t[col].to_pylist()).encode())
+        return n, [f.rsplit("/", 1)[1] for f in files], h.hexdigest(), tables
+
+    n1, names1, md51, tables1 = run("a", force_inline=True)
+    n2, names2, md52, _ = run("b", force_inline=False)
+    assert (n1, names1, md51) == (n2, names2, md52)
+
+    import pyarrow as pa
+    full = pa.concat_tables(tables1)
+    assert full.num_rows == n1
+    assert full.schema.equals(SCHEMA)
+    convs = set(full["conv_id"].to_pylist())
+    assert len(convs) == 250  # globally unique ids across 3 shards
+    assert min(convs) == "c0000000" and max(convs) == "c0000249"
+
+
+def test_conv_offset_shifts_ids_only():
+    from opencep_ray.sources.transcripts import synth_transcripts
+    base = synth_transcripts(40, 8, seed=5)
+    off = synth_transcripts(40, 8, seed=5, conv_offset=1000)
+    assert base.drop_columns(["conv_id"]).equals(off.drop_columns(["conv_id"]))
+    assert off["conv_id"].to_pylist()[0] == "c0001000"
