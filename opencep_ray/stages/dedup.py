@@ -896,6 +896,17 @@ def conversation_digest_ids(ds: Dataset, key: str = "conv_id",
     versions: stored digests survive environment upgrades, so
     incremental dedup against a persisted digest table is safe."""
     from .partition import with_key_part
+    merged = conversation_digest_table(ds, key=key, order_col=order_col,
+                                       col=col, parts=parts)
+    return (with_key_part(merged, "_x", parts=parts)
+            .groupby("_kpart")
+            .map_groups(_keep_min_key(key), batch_format="pyarrow")
+            .select_columns([key]))
+
+
+def _digest_partial(key: str, order_col: str, col: str):
+    """Per-batch combiner: one (key, _x, _n) fragment row per
+    conversation(-block) present in the batch — text never leaves it."""
     from .split import mix64, stable_str_hash_u64
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -919,19 +930,107 @@ def conversation_digest_ids(ds: Dataset, key: str = "conv_id",
         return out.set_column(0, key, pc.cast(out[key],
                                               batch.schema.field(key).type))
 
-    frags = ds.map_batches(partial, batch_format="pyarrow")
-    # two tiny exchanges: (1) key-hash partition finishes each
-    # conversation's digest (a conversation's fragments co-locate);
-    # (2) digest-hash partition brings IDENTICAL conversations —
-    # which live under different keys — together for the min-key pick.
-    # Both carry one row per conversation(-block), never turns.
-    merged = (with_key_part(frags, key, parts=parts)
-              .groupby("_kpart")
-              .map_groups(_finish_digests(key), batch_format="pyarrow"))
-    return (with_key_part(merged, "_x", parts=parts)
+    return partial
+
+
+def conversation_digest_table(ds: Dataset, key: str = "conv_id",
+                              order_col: str = "turn_idx",
+                              col: str = "text",
+                              parts: int = 64) -> Dataset:
+    """The PERSISTABLE side of :func:`conversation_digest_ids`: one
+    ``(key, _x, _n)`` row per conversation, where ``_x`` is the
+    version-stable XOR multiset digest and ``_n`` the turn count.
+    Write this table out after a dedup run and feed it back to
+    :func:`conversation_digest_update` to dedup later batches against
+    the corpus WITHOUT re-reading it — the incremental shape a rolling
+    100 TB ingest needs.  Same preconditions as
+    ``conversation_digest_ids`` (``order_col`` is a canonical position
+    label); digests use the repo's pinned splitmix64 kernels, so a
+    stored table survives environment upgrades.
+
+    One key-hash exchange carrying one row per conversation(-block)
+    merges cross-batch fragments; turns/text never shuffle."""
+    from .partition import with_key_part
+    frags = ds.map_batches(_digest_partial(key, order_col, col),
+                           batch_format="pyarrow")
+    return (with_key_part(frags, key, parts=parts)
             .groupby("_kpart")
-            .map_groups(_keep_min_key(key), batch_format="pyarrow")
-            .select_columns([key]))
+            .map_groups(_finish_digests(key), batch_format="pyarrow"))
+
+
+def conversation_digest_update(new_ds: Dataset, stored: Dataset,
+                               key: str = "conv_id",
+                               order_col: str = "turn_idx",
+                               col: str = "text",
+                               parts: int = 64) -> Dataset:
+    """Incremental conversation dedup against a persisted digest table.
+
+    ``new_ds`` is a turns table (the new ingest batch); ``stored`` is a
+    ``(key, _x, _n)`` digest table from a previous
+    :func:`conversation_digest_table` /  update run (one row per KEPT
+    conversation; an empty table bootstraps).  Returns the UPDATED
+    digest table with a ``_new`` flag: ``_new=True`` rows are the new
+    batch's survivors (content not in the stored corpus, min ``key``
+    among new duplicates), ``_new=False`` rows are the stored table
+    passed through.  Persist ``drop_columns(["_new"])`` as the next
+    ``stored``; ``filter _new`` for the ids to ingest.
+
+    Cost: the new batch is digested (no text shuffle, as in the batch
+    path) and ONE digest-hash exchange co-locates new digests with the
+    stored rows — O(|stored| + |new conversations|) rows moved, never
+    the old corpus's text."""
+    import pyarrow as pa
+
+    from .partition import with_key_part
+    new_table = conversation_digest_table(new_ds, key=key,
+                                          order_col=order_col, col=col,
+                                          parts=parts)
+
+    def tag(flag):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.select([key, "_x", "_n"]).append_column(
+                "_new", pa.array(np.full(b.num_rows, flag)))
+        fn.__name__ = f"TagNew{flag}"
+        return fn
+
+    both = new_table.map_batches(tag(True), batch_format="pyarrow") \
+        .union(stored.map_batches(tag(False), batch_format="pyarrow"))
+    return (with_key_part(both, "_x", parts=parts)
+            .groupby("_kpart")
+            .map_groups(_merge_digest_update(key), batch_format="pyarrow"))
+
+
+class _merge_digest_update:
+    """Group = one digest-hash partition of tagged digest rows: stored
+    rows pass through; a new row survives iff its ``(_x, _n)`` digest
+    has no stored row and it holds the min key among new rows sharing
+    the digest."""
+
+    def __init__(self, key: str):
+        self.key = key
+        self.__name__ = "MergeDigestUpdate"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import polars as pl
+        cols = [self.key, "_x", "_n", "_new"]
+        if group.num_rows == 0:
+            return group.select(cols)
+        df = pl.from_arrow(group.select(cols))
+        stored = df.filter(~pl.col("_new"))
+        fresh = (df.filter(pl.col("_new"))
+                 .join(stored.select(["_x", "_n"]).unique(),
+                       on=["_x", "_n"], how="anti")
+                 .sort(self.key)
+                 .group_by(["_x", "_n"], maintain_order=True).first()
+                 .select(cols))
+        out = pl.concat([stored.select(cols), fresh]).to_arrow()
+        return pa.table({
+            self.key: pc.cast(out[self.key],
+                              group.schema.field(self.key).type),
+            "_x": pc.cast(out["_x"], pa.uint64()),
+            "_n": pc.cast(out["_n"], pa.int64()),
+            "_new": pc.cast(out["_new"], pa.bool_()),
+        })
 
 
 class _finish_digests:

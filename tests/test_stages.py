@@ -726,3 +726,58 @@ def test_fingerprint_batch_matches_scalar_reference():
     exp = np.array([fp.doc_fingerprint(t) if t else 0
                     for t in docs[3:103]], np.uint64)
     assert (got == exp).all()
+
+
+def test_conversation_digest_incremental_update(ray_session):
+    """Incremental dedup against a persisted digest table: batch 2 is
+    deduped against batch 1's digests without re-reading batch 1's
+    text, and the updated table equals the batch path over the union
+    corpus (same content set)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.dedup import (conversation_digest_ids,
+                                          conversation_digest_table,
+                                          conversation_digest_update)
+
+    batch1 = pa.table({
+        "conv_id": ["a", "a", "b", "b"],
+        "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+        "text": ["hi", "there", "hi", "there"]})     # b dups a
+    batch2 = pa.table({
+        "conv_id": ["c", "c", "d", "e"],
+        "turn_idx": pa.array([1, 0, 0, 0], pa.int32()),
+        # c == a content-wise (permuted storage order); d new; e dups d
+        "text": ["there", "hi", "solo", "solo"]})
+
+    empty = rd.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "_x": pa.array([], pa.uint64()),
+        "_n": pa.array([], pa.int64())}))
+
+    # bootstrap: update against an empty table == the batch path
+    boot = conversation_digest_update(rd.from_arrow(batch1), empty) \
+        .to_pandas()
+    assert bool(boot["_new"].all())
+    assert sorted(boot["conv_id"]) == sorted(
+        conversation_digest_ids(rd.from_arrow(batch1))
+        .to_pandas()["conv_id"])  == ["a"]
+
+    stored = rd.from_arrow(pa.table({
+        "conv_id": pa.array(boot["conv_id"], pa.string()),
+        "_x": pa.array(boot["_x"].to_numpy().astype("uint64"),
+                       pa.uint64()),
+        "_n": pa.array(boot["_n"].to_numpy(), pa.int64())}))
+    upd = conversation_digest_update(rd.from_arrow(batch2), stored) \
+        .to_pandas()
+    kept_new = sorted(upd[upd["_new"]]["conv_id"])
+    assert kept_new == ["d"]          # c hits stored a; e dups d in-batch
+    assert sorted(upd["conv_id"]) == ["a", "d"]
+
+    # updated digest set == batch-path digest table over the union
+    both = rd.from_arrow(pa.concat_tables([batch1, batch2]))
+    full = conversation_digest_table(both).to_pandas()
+    full_digests = {(x, n) for x, n in zip(
+        full["_x"].astype("uint64"), full["_n"])}
+    upd_digests = {(x, n) for x, n in zip(
+        upd["_x"].astype("uint64"), upd["_n"])}
+    assert upd_digests == full_digests
