@@ -1988,6 +1988,70 @@ SELECT min(conv_id) AS conv_id FROM canon GROUP BY canon
 """
 
 
+def dedup_conversations_incremental(sf_dir):
+    """Rolling-ingest dedup: the even-numbered conversations are the
+    already-ingested corpus, persisted as a digest table (one
+    ``(conv_id, _x, _n)`` row per conversation — the old corpus's TEXT
+    is never revisited); the odd-numbered conversations plus planted
+    copies of every num%6==0 conversation (id ``d<conv_id>``, cross-
+    batch dups) arrive as the new batch.  Output: the new batch's
+    surviving conv_ids (`stages/dedup.py:conversation_digest_update` —
+    content not in the stored corpus, min id among in-batch dups)."""
+    from ..stages.dedup import (conversation_digest_table,
+                                conversation_digest_update)
+    base = _transcripts_ds(columns=("conv_id", "turn_idx", "text"))
+
+    def _half(parity):
+        def fn(t: pa.Table) -> pa.Table:
+            nums = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1, 99),
+                           pa.int64())
+            import numpy as np
+            keep = nums.to_numpy(zero_copy_only=False) % 2 == parity
+            return t.filter(pa.array(keep))
+        fn.__name__ = f"Half{parity}"
+        return fn
+
+    def planted(t: pa.Table) -> pa.Table:
+        import numpy as np
+        nums = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 1, 99),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(nums % 6 == 0))
+        return dup.set_column(
+            dup.column_names.index("conv_id"), "conv_id",
+            pc.binary_join_element_wise(
+                pa.scalar("d"), dup["conv_id"].combine_chunks(),
+                pa.scalar("")))
+
+    stored = conversation_digest_table(
+        base.map_batches(_half(0), batch_format="pyarrow"))
+    new_ds = base.map_batches(_half(1), batch_format="pyarrow").union(
+        base.map_batches(planted, batch_format="pyarrow"))
+    upd = conversation_digest_update(new_ds, stored)
+    return upd.map_batches(
+        lambda t: t.filter(t["_new"]).select(["conv_id"]),
+        batch_format="pyarrow")
+
+
+DEDUP_CONVERSATIONS_INCREMENTAL_SQL = f"""
+WITH t AS (SELECT * FROM read_parquet('{TRANSCRIPTS_PATH}')),
+stored AS (
+  SELECT string_agg(text, chr(10) ORDER BY turn_idx) AS canon
+  FROM t WHERE CAST(substr(conv_id, 2) AS BIGINT) % 2 = 0
+  GROUP BY conv_id),
+new_t AS (
+  SELECT conv_id, turn_idx, text FROM t
+  WHERE CAST(substr(conv_id, 2) AS BIGINT) % 2 = 1
+  UNION ALL
+  SELECT 'd' || conv_id AS conv_id, turn_idx, text FROM t
+  WHERE CAST(substr(conv_id, 2) AS BIGINT) % 6 = 0),
+nc AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS canon
+  FROM new_t GROUP BY conv_id)
+SELECT min(conv_id) AS conv_id FROM nc
+WHERE canon NOT IN (SELECT canon FROM stored) GROUP BY canon
+"""
+
+
 def conv_wellformed(sf_dir):
     """SFT-data validation: flag conversations whose role sequence is
     well-formed for instruction tuning — starts with a user turn, ends
@@ -2542,6 +2606,8 @@ QUERIES = {
     "curate_documents": curate_documents,
     # version-stable splitmix64 digest (r4 ask #3)
     "dedup_conversations_digest": dedup_conversations_digest,
+    # round-5: incremental dedup vs a persisted digest table
+    "dedup_conversations_incremental": dedup_conversations_incremental,
     # polars is_in/empty_as_null pins (ADVICE r04)
     "decontaminate": decontaminate,
     "text_normalize": text_normalize,
@@ -2681,6 +2747,7 @@ ORACLES = {
     "doc_familiarity": DOC_FAMILIARITY_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "dedup_conversations_digest": DEDUP_CONVERSATIONS_DIGEST_SQL,
+    "dedup_conversations_incremental": DEDUP_CONVERSATIONS_INCREMENTAL_SQL,
     "conv_wellformed": CONV_WELLFORMED_SQL,
     "transcripts_curate": TRANSCRIPTS_CURATE_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,
