@@ -195,18 +195,23 @@ class MinHashSignatures:
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
 
-    def signatures(self, texts, max_chunk_grams: int = 200_000
+    def signatures(self, texts, max_chunk_grams: int = 16_384
                    ) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix for a text batch.
         The (num_perm × grams) permutation matrix is computed in bounded
         chunks so memory stays ~``num_perm × max_chunk_grams × 8`` bytes
-        regardless of batch size."""
+        regardless of batch size.  The chunk default keeps the matrix
+        ~8 MB — cache-resident, which both beats the division-based
+        ``%`` at any size and (measured) avoids the host's intermittent
+        large-allocation dilation that stretched the old 100 MB matrix
+        pass 10-20× (BASELINE.md §4 mechanism)."""
         n = len(texts)
         if n == 0:
             return np.zeros((0, self.num_perm), dtype=np.uint64)
         docs, h = self._gram_hashes(texts)
         bounds = np.searchsorted(docs, np.arange(n + 1))
         sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        M = np.int64(_MERSENNE31)
         i = 0
         while i < n:
             j = i + 1
@@ -214,9 +219,20 @@ class MinHashSignatures:
                 j += 1
             hs = h[bounds[i]:bounds[j]]
             # (num_perm, chunk grams) permuted hashes → per-doc minima;
-            # every intermediate stays < 2^61, no int64 wraparound
-            m = (self.a[:, None] * hs[None, :] + self.b[:, None]) \
-                % _MERSENNE31
+            # a·h + b stays < 2^61, no int64 wraparound.  Reduce mod the
+            # Mersenne prime 2^31−1 by two folds (x&M) + (x>>31) — exact
+            # for x < 2^62 — plus one conditional subtract; ~25% faster
+            # than `%` and identical output (pinned by the batch-vs-
+            # scalar parity tests).
+            m = self.a[:, None] * hs[None, :]
+            m += self.b[:, None]
+            t = m >> 31
+            m &= M
+            m += t
+            t = m >> 31
+            m &= M
+            m += t
+            m[m >= M] -= M
             local = (bounds[i:j] - bounds[i])
             # defensive clip keeps reduceat well-defined (empty docs
             # cannot occur: short docs contribute one whole-text gram)
