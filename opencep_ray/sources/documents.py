@@ -108,3 +108,49 @@ def write_documents(path: str, n_docs: int, seed: int = 7,
             os.rename(tmp, fp)
         part += 1
     return n_docs
+
+
+def synth_embeddings(n_vecs: int, dim: int = 64, n_clusters: int = 64,
+                     seed: int = 3, id_offset: int = 0,
+                     noise: float = 0.15) -> pa.Table:
+    """Deterministic clustered embeddings with the sf*/embeddings.parquet
+    schema (vec_id, embedding list<float>, label).  Vectors are latent
+    centroids (FIXED global seed — identical across shards, so IVF/LSH
+    bucketing sees the same structure at any sharding) plus Gaussian
+    noise from the shard seed; label = the generating centroid, giving
+    ANN smoke legs a ground-truth neighborhood signal."""
+    cent_rng = np.random.RandomState(97)
+    cents = cent_rng.randn(n_clusters, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    assign = rng.randint(0, n_clusters, n_vecs)
+    x = (cents[assign] + noise * rng.randn(n_vecs, dim)) \
+        .astype(np.float32)
+    flat = pa.array(x.reshape(-1), pa.float32())
+    offsets = pa.array(np.arange(n_vecs + 1, dtype=np.int32) * dim)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64) + id_offset),
+        "embedding": pa.ListArray.from_arrays(offsets, flat),
+        "label": pa.array(assign.astype(np.int32)),
+    })
+
+
+def write_embeddings(path: str, n_vecs: int, dim: int = 64, seed: int = 3,
+                     vecs_per_file: int = 250_000, **kwargs) -> int:
+    """Sharded parquet writer with the write_documents discipline:
+    per-shard seeds + id offsets, finished shards skipped on re-run."""
+    import os
+    import pyarrow.parquet as pq
+    os.makedirs(path, exist_ok=True)
+    part = 0
+    for lo in range(0, n_vecs, vecs_per_file):
+        n = min(vecs_per_file, n_vecs - lo)
+        fp = os.path.join(path, f"part-{part:05d}.parquet")
+        if not os.path.exists(fp):
+            tbl = synth_embeddings(n, dim=dim, seed=seed + part,
+                                   id_offset=lo, **kwargs)
+            tmp = fp + f".tmp{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, fp)
+        part += 1
+    return n_vecs

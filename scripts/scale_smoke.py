@@ -124,10 +124,46 @@ def leg_minhash(n_docs: int) -> dict:
             "docs": n_docs}
 
 
+def leg_ann(n_vecs: int) -> dict:
+    """Brute-force vs IVF cosine top-10 over a clustered synthetic
+    corpus: wall for both paths plus IVF recall@10 against the exact
+    answer (self-validating — no external oracle needed)."""
+    import glob
+    import numpy as np
+    import ray.data as rd
+    from opencep_ray.sources.documents import (synth_embeddings,
+                                               write_embeddings)
+    from opencep_ray.stages.ann import ann_brute_force, ann_ivf
+    path = f"/tmp/graft_bench/embeddings_{n_vecs}"
+    write_embeddings(path, n_vecs)
+    q = synth_embeddings(32, seed=999)
+    q_ids = q["vec_id"].to_numpy().tolist()
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+
+    def run(fn, **kw):
+        ds = rd.read_parquet(sorted(glob.glob(f"{path}/*.parquet")),
+                             columns=["vec_id", "embedding"])
+        t0 = time.perf_counter()
+        out = fn(ds, q_ids, q_vecs, k=10, **kw).to_pandas()
+        wall = round(time.perf_counter() - t0, 2)
+        top = {qid: set(g["neighbor_id"]) for qid, g in
+               out.groupby("q_id")}
+        return wall, top
+
+    bf_wall, bf = run(ann_brute_force)
+    ivf_wall, ivf = run(ann_ivf, nprobe=4, n_centroids=64)
+    recall = sum(len(bf[k] & ivf.get(k, set())) for k in bf) \
+        / (10 * len(bf))
+    return {"vecs": n_vecs, "brute_wall_sec": bf_wall,
+            "ivf_wall_sec": ivf_wall,
+            "ivf_recall_at_10": round(recall, 3)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-convs", type=int, default=4_000_000)
     ap.add_argument("--n-docs", type=int, default=500_000)
+    ap.add_argument("--n-vecs", type=int, default=1_000_000)
     ap.add_argument("--which", default="stream,digest,boilerplate,minhash")
     ap.add_argument("--sample-every", type=int, default=16)
     ap.add_argument("--boilerplate-min-count", type=int,
@@ -171,6 +207,9 @@ def main():
         elif leg == "minhash":
             results["legs"]["minhash"] = timed(
                 lambda: leg_minhash(args.n_docs))
+        elif leg == "ann":
+            results["legs"]["ann"] = timed(
+                lambda: leg_ann(args.n_vecs))
         else:
             raise SystemExit(f"unknown leg {leg}")
         results["host_steal_pct_post"] = bench.measure_host_steal()

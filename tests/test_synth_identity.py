@@ -97,3 +97,34 @@ def test_conv_offset_shifts_ids_only():
     off = synth_transcripts(40, 8, seed=5, conv_offset=1000)
     assert base.drop_columns(["conv_id"]).equals(off.drop_columns(["conv_id"]))
     assert off["conv_id"].to_pylist()[0] == "c0001000"
+
+
+def test_synth_embeddings_schema_and_determinism(tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from opencep_ray.sources.documents import (synth_embeddings,
+                                               write_embeddings)
+    a = synth_embeddings(200, dim=16, seed=5)
+    b = synth_embeddings(200, dim=16, seed=5)
+    assert a.equals(b)
+    assert a.column_names == ["vec_id", "embedding", "label"]
+    m = np.array(a["embedding"].to_pylist(), dtype=np.float32)
+    assert m.shape == (200, 16)
+    # clustered: same-label vectors are closer than cross-label ones
+    lab = a["label"].to_numpy()
+    mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = mu @ mu.T
+    same = sim[lab[:, None] == lab[None, :]].mean()
+    diff = sim[lab[:, None] != lab[None, :]].mean()
+    assert same > diff + 0.3
+    # sharded writer: globally unique ids, resume skips finished shards
+    n = write_embeddings(str(tmp_path / "e"), 500, dim=16,
+                         vecs_per_file=200)
+    assert n == 500
+    import glob
+    files = sorted(glob.glob(f"{tmp_path}/e/*.parquet"))
+    assert len(files) == 3
+    ids = []
+    for f in files:
+        ids += pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist()
+    assert sorted(ids) == list(range(500))
