@@ -133,7 +133,7 @@ def leg_ann(n_vecs: int) -> dict:
     import ray.data as rd
     from opencep_ray.sources.documents import (synth_embeddings,
                                                write_embeddings)
-    from opencep_ray.stages.ann import ann_brute_force, ann_ivf
+    from opencep_ray.stages.ann import ann_brute_force, ann_ivf, ann_lsh
     path = f"/tmp/graft_bench/embeddings_{n_vecs}"
     write_embeddings(path, n_vecs)
     q = synth_embeddings(32, seed=999)
@@ -152,11 +152,16 @@ def leg_ann(n_vecs: int) -> dict:
 
     bf_wall, bf = run(ann_brute_force)
     ivf_wall, ivf = run(ann_ivf, nprobe=4, n_centroids=64)
-    recall = sum(len(bf[k] & ivf.get(k, set())) for k in bf) \
-        / (10 * len(bf))
+    lsh_wall, lsh = run(ann_lsh, n_tables=8, n_planes=8)
+
+    def recall(approx):
+        return round(sum(len(bf[k] & approx.get(k, set())) for k in bf)
+                     / (10 * len(bf)), 3)
+
     return {"vecs": n_vecs, "brute_wall_sec": bf_wall,
-            "ivf_wall_sec": ivf_wall,
-            "ivf_recall_at_10": round(recall, 3)}
+            "ivf_wall_sec": ivf_wall, "lsh_wall_sec": lsh_wall,
+            "ivf_recall_at_10": recall(ivf),
+            "lsh_recall_at_10": recall(lsh)}
 
 
 def main():
