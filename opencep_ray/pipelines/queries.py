@@ -617,6 +617,57 @@ def dedup_exact(sf_dir):
 DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def dedup_documents_incremental(sf_dir):
+    """Rolling-ingest dedup for single-row documents: even doc_ids are
+    the ingested corpus (persisted as a version-stable digest table);
+    odd doc_ids plus planted copies of every doc_id%6==0 document
+    (id + 1,000,000 — cross-batch dups) arrive as the new batch.
+    Output: the new batch's surviving doc_ids
+    (`stages/dedup.py:document_digest_update` — one digest-hash
+    exchange, the old corpus's text never re-read)."""
+    from ..stages.dedup import (document_digest_table,
+                                document_digest_update)
+    base = _documents(sf_dir, columns=("doc_id", "text"))
+
+    def _half(parity):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        fn.__name__ = f"Half{parity}"
+        return fn
+
+    def planted(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 6 == 0))
+        return dup.set_column(
+            dup.column_names.index("doc_id"), "doc_id",
+            pc.add(dup["doc_id"], pa.scalar(1_000_000, pa.int64())))
+
+    stored = document_digest_table(
+        base.map_batches(_half(0), batch_format="pyarrow"))
+    new_ds = base.map_batches(_half(1), batch_format="pyarrow").union(
+        base.map_batches(planted, batch_format="pyarrow"))
+    upd = document_digest_update(new_ds, stored)
+    return upd.map_batches(
+        lambda t: t.filter(t["_new"]).select(["doc_id"]),
+        batch_format="pyarrow")
+
+
+DEDUP_DOCUMENTS_INCREMENTAL_SQL = """
+WITH stored AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+new_t AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 6 = 0)
+SELECT min(doc_id) AS doc_id FROM new_t
+WHERE text NOT IN (SELECT text FROM stored) GROUP BY text
+"""
+
+
 def dedup_ngram(sf_dir):
     from ..stages.dedup import ngram_jaccard_blocked
     return ngram_jaccard_blocked(
@@ -2608,6 +2659,7 @@ QUERIES = {
     "dedup_conversations_digest": dedup_conversations_digest,
     # round-5: incremental dedup vs a persisted digest table
     "dedup_conversations_incremental": dedup_conversations_incremental,
+    "dedup_documents_incremental": dedup_documents_incremental,
     # polars is_in/empty_as_null pins (ADVICE r04)
     "decontaminate": decontaminate,
     "text_normalize": text_normalize,
@@ -2748,6 +2800,7 @@ ORACLES = {
     "text_normalize": TEXT_NORMALIZE_SQL,
     "dedup_conversations_digest": DEDUP_CONVERSATIONS_DIGEST_SQL,
     "dedup_conversations_incremental": DEDUP_CONVERSATIONS_INCREMENTAL_SQL,
+    "dedup_documents_incremental": DEDUP_DOCUMENTS_INCREMENTAL_SQL,
     "conv_wellformed": CONV_WELLFORMED_SQL,
     "transcripts_curate": TRANSCRIPTS_CURATE_SQL,
     "curate_split_sink": CURATE_SPLIT_SINK_SQL,

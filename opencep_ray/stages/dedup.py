@@ -1016,6 +1016,68 @@ def conversation_digest_update(new_ds: Dataset, stored: Dataset,
             .map_groups(_merge_digest_update(key), batch_format="pyarrow"))
 
 
+def document_digest_update(new_ds: Dataset, stored: Dataset,
+                           col: str = "text", id_col: str = "doc_id",
+                           parts: int = 64) -> Dataset:
+    """Incremental DOCUMENT dedup against a persisted digest table —
+    the single-row sibling of :func:`conversation_digest_update`.
+
+    ``stored`` holds ``(id_col, _x, _n)`` rows (version-stable 64-bit
+    content hash + character length) from a previous
+    :func:`document_digest_table` / update run; ``new_ds`` is the new
+    document batch.  Returns the updated digest table with a ``_new``
+    flag (True = new batch's survivors: content not in the stored
+    corpus, min id among new duplicates).  One digest-hash exchange of
+    one row per document; text never shuffles and the old corpus is
+    never re-read.  Hashes come from the repo's pinned splitmix64
+    kernel, so stored tables survive environment upgrades (unlike the
+    within-run polars hash `_ContentHash` uses)."""
+    from .partition import with_key_part
+    from .split import stable_str_hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "_x": pa.array([], pa.uint64()),
+                             "_n": pa.array([], pa.int64()),
+                             "_new": pa.array([], pa.bool_())})
+        return pa.table({
+            id_col: batch[id_col],
+            "_x": pa.array(stable_str_hash_u64(batch[col]), pa.uint64()),
+            "_n": pc.cast(pc.utf8_length(batch[col]), pa.int64()),
+            "_new": pa.array(np.ones(batch.num_rows, dtype=bool)),
+        })
+
+    def tag_stored(b: pa.Table) -> pa.Table:
+        return b.select([id_col, "_x", "_n"]).append_column(
+            "_new", pa.array(np.zeros(b.num_rows, dtype=bool)))
+
+    both = new_ds.map_batches(partial, batch_format="pyarrow") \
+        .union(stored.map_batches(tag_stored, batch_format="pyarrow"))
+    return (with_key_part(both, "_x", parts=parts)
+            .groupby("_kpart")
+            .map_groups(_merge_digest_update(id_col),
+                        batch_format="pyarrow"))
+
+
+def document_digest_table(ds: Dataset, col: str = "text",
+                          id_col: str = "doc_id",
+                          parts: int = 64) -> Dataset:
+    """The persistable ``(id_col, _x, _n)`` digest table of a document
+    corpus: one row per KEPT document (min id per distinct content) —
+    bootstrap of the :func:`document_digest_update` rolling-ingest
+    loop."""
+    import ray.data as rd
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    empty = rd.from_arrow(pa.table({
+        id_col: pa.array([], id_type),
+        "_x": pa.array([], pa.uint64()),
+        "_n": pa.array([], pa.int64())}))
+    return document_digest_update(ds, empty, col=col, id_col=id_col,
+                                  parts=parts).drop_columns(["_new"])
+
+
 class _merge_digest_update:
     """Group = one digest-hash partition of tagged digest rows: stored
     rows pass through; a new row survives iff its ``(_x, _n)`` digest

@@ -781,3 +781,37 @@ def test_conversation_digest_incremental_update(ray_session):
     upd_digests = {(x, n) for x, n in zip(
         upd["_x"].astype("uint64"), upd["_n"])}
     assert upd_digests == full_digests
+
+
+def test_document_digest_incremental_update(ray_session):
+    """Single-row sibling of the conversation incremental path: new
+    docs dedup against a persisted digest table; bootstrap equals the
+    batch exact-dedup semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.dedup import (document_digest_table,
+                                          document_digest_update,
+                                          exact_dedup_ids)
+
+    batch1 = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha", "beta", "alpha"]})      # 3 dups 1
+    batch2 = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        # 10 dups stored "beta"; 11/12 duplicate each other (new content)
+        "text": ["beta", "gamma", "gamma"]})
+
+    boot = document_digest_table(rd.from_arrow(batch1)).to_pandas()
+    assert sorted(boot["doc_id"]) == sorted(
+        exact_dedup_ids(rd.from_arrow(batch1))
+        .to_pandas()["doc_id"]) == [1, 2]
+
+    stored = rd.from_arrow(pa.table({
+        "doc_id": pa.array(boot["doc_id"].to_numpy(), pa.int64()),
+        "_x": pa.array(boot["_x"].to_numpy().astype("uint64"),
+                       pa.uint64()),
+        "_n": pa.array(boot["_n"].to_numpy(), pa.int64())}))
+    upd = document_digest_update(rd.from_arrow(batch2), stored) \
+        .to_pandas()
+    assert sorted(upd[upd["_new"]]["doc_id"]) == [11]
+    assert sorted(upd["doc_id"]) == [1, 2, 11]
