@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--ts-ordered", action="store_true",
                     help="input is globally ts-ordered: enables event-time "
                          "watermarks + state eviction")
+    ap.add_argument("--key-contiguous", action="store_true",
+                    help="input is conversation-contiguous (one contiguous "
+                         "row range per conv_id, e.g. logs partitioned by "
+                         "conversation): workers flush + recycle evaluators "
+                         "for conversations absent from the current batch, "
+                         "keeping live state and checkpoints bounded")
     ap.add_argument("--adaptive", action="store_true",
                     help="collect arrival rates and replan mid-stream")
     ap.add_argument("--hot-keys", default="",
@@ -93,6 +99,7 @@ def main():
                           num_workers=workers,
                           checkpoint_every=args.checkpoint_every,
                           ts_ordered_input=args.ts_ordered,
+                          key_contiguous_input=args.key_contiguous,
                           adaptive=args.adaptive)
     stats = engine.run_files(files, args.output,
                              micro_batch_rows=args.micro_batch_rows,
