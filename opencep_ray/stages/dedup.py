@@ -209,6 +209,14 @@ class MinHashSignatures:
         if n == 0:
             return np.zeros((0, self.num_perm), dtype=np.uint64)
         docs, h = self._gram_hashes(texts)
+        return self._minima_from_grams(docs, h, n, max_chunk_grams)
+
+    def _minima_from_grams(self, docs: np.ndarray, h: np.ndarray, n: int,
+                           max_chunk_grams: int = 16_384) -> np.ndarray:
+        """Per-permutation minima over a (doc-sorted) gram-hash stream:
+        the shared kernel behind per-document signatures and the
+        conversation-fragment variant (where ``docs`` indexes
+        conversation runs instead of rows)."""
         bounds = np.searchsorted(docs, np.arange(n + 1))
         sig = np.empty((n, self.num_perm), dtype=np.uint64)
         M = np.int64(_MERSENNE31)
@@ -332,14 +340,16 @@ class _BucketPairsVec:
         self.max_bucket = max_bucket
         self.__name__ = "BucketPairs"
 
-    def _empty(self) -> pa.Table:
-        e = np.array([], dtype=np.int64)
-        return pa.table({"id_a": pa.array(e), "id_b": pa.array(e)})
+    def _empty(self, id_type=None) -> pa.Table:
+        id_type = id_type or pa.int64()
+        return pa.table({"id_a": pa.array([], id_type),
+                         "id_b": pa.array([], id_type)})
 
     def __call__(self, group: pa.Table) -> pa.Table:
         n = group.num_rows
+        id_type = group.schema.field(self.id_col).type
         if n == 0:
-            return self._empty()
+            return self._empty(id_type)
         bh = group["band_hash"].to_numpy(zero_copy_only=False)
         ids = group[self.id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, bh))
@@ -356,7 +366,7 @@ class _BucketPairsVec:
                 m, self.max_bucket, int(m) * (int(m) - 1) // 2)
         keep = (sizes >= 2) & ~big
         if not keep.any():
-            return self._empty()
+            return self._empty(id_type)
         ks, kz = run_start[keep], sizes[keep]
         total = int(kz.sum())
         # flatten kept runs: global row position per flattened element
@@ -368,14 +378,14 @@ class _BucketPairsVec:
         reps = np.repeat(kz, kz) - 1 - within
         pair_total = int(reps.sum())
         if pair_total == 0:
-            return self._empty()
+            return self._empty(id_type)
         left = np.repeat(np.arange(total), reps)
         lstart = np.repeat(np.cumsum(reps) - reps, reps)
         off = np.arange(pair_total) - lstart + 1
         right = left + off
         return pa.table({
-            "id_a": pa.array(ids[pos[left]], pa.int64()),
-            "id_b": pa.array(ids[pos[right]], pa.int64())})
+            "id_a": pc.cast(pa.array(ids[pos[left]]), id_type),
+            "id_b": pc.cast(pa.array(ids[pos[right]]), id_type)})
 
 
 def minhash_lsh_candidates(ds: Dataset, col: str = "text",
@@ -403,6 +413,16 @@ def minhash_lsh_candidates(ds: Dataset, col: str = "text",
     sigs = ds.map_batches(
         MinHashSignatures(col, id_col, num_perm, shingle_k),
         batch_format="pyarrow")
+    return _lsh_band_pairs(sigs, id_col, bands, rows_per_band, max_bucket,
+                           num_partitions, hash_parts)
+
+
+def _lsh_band_pairs(sigs: Dataset, id_col: str, bands: int,
+                    rows_per_band: int, max_bucket: int,
+                    num_partitions: int, hash_parts: int) -> Dataset:
+    """Banding tail shared by the document and conversation LSH paths:
+    signature table → band explode → coarse-partition vectorized pair
+    generation → per-pair band count."""
     exploded = sigs.map_batches(_BandExplode(id_col, bands, rows_per_band),
                                 batch_format="pyarrow")
     mask = int(hash_parts) - 1
@@ -422,6 +442,103 @@ def minhash_lsh_candidates(ds: Dataset, col: str = "text",
     return pairs.groupby(["id_a", "id_b"],
                          num_partitions=num_partitions).aggregate(
         Count(alias_name="n_bands"))
+
+
+class ConversationMinHashFragments(MinHashSignatures):
+    """Per-batch conversation-fragment MinHash: one ``(key, signature)``
+    row per conversation(-block) — the signature is the per-permutation
+    minimum over every turn's word-k-gram hashes in the fragment.
+    Shingles never cross turn boundaries (a deliberate, documented
+    approximation: a near-duplicate that only rewrites turn JOINTS can
+    evade it, while any turn-level edit lands in k grams).  Because a
+    MinHash signature is a minimum, fragments of one conversation merge
+    by ELEMENTWISE MIN — so near-dup detection over conversations needs
+    no transcript rebuild and no text shuffle, just one exchange of
+    #conv-block signature rows (the `conversation_digest_ids` shape,
+    applied to near-dups)."""
+
+    def __init__(self, col: str = "text", key: str = "conv_id",
+                 num_perm: int = 64, shingle_k: int = 3, seed: int = 13):
+        super().__init__(col, key, num_perm, shingle_k, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key = self.id_col
+        if batch.num_rows == 0:
+            return pa.table({key: batch[key].slice(0, 0),
+                             "signature": pa.array([],
+                                                   pa.list_(pa.uint64()))})
+        sort_idx = pc.sort_indices(batch[key]).to_numpy()
+        keys = batch[key].to_numpy(zero_copy_only=False)[sort_idx]
+        texts = batch[self.col].take(pa.array(sort_idx))
+        docs_row, h = self._gram_hashes(texts)
+        run_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1])))
+        run_id = np.cumsum(
+            np.concatenate(([False], keys[1:] != keys[:-1])))
+        sig = self._minima_from_grams(run_id[docs_row], h,
+                                      len(run_starts))
+        out = pa.table({
+            key: pa.array(keys[run_starts]),
+            "signature": pa.array(list(sig), pa.list_(pa.uint64())),
+        })
+        return out.set_column(0, key, pc.cast(out[key],
+                                              batch.schema.field(key).type))
+
+
+class _MergeMinSignatures:
+    """Group = one key-hash partition of conversation-fragment signature
+    rows: elementwise-min merge into ONE signature row per conversation
+    (vectorized: sorted-run reduceat over the stacked matrix)."""
+
+    def __init__(self, key: str, num_perm: int):
+        self.key = key
+        self.num_perm = num_perm
+        self.__name__ = "MergeMinSignatures"
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from .ann import list_col_to_numpy
+        key = self.key
+        if group.num_rows == 0:
+            return group.select([key, "signature"])
+        sort_idx = pc.sort_indices(group[key]).to_numpy()
+        keys = group[key].to_numpy(zero_copy_only=False)[sort_idx]
+        mat = list_col_to_numpy(group["signature"],
+                                dtype=np.uint64)[sort_idx]
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1])))
+        merged = np.minimum.reduceat(mat, starts, axis=0)
+        out = pa.table({
+            key: pa.array(keys[starts]),
+            "signature": pa.array(list(merged), pa.list_(pa.uint64())),
+        })
+        return out.set_column(0, key, pc.cast(out[key],
+                                              group.schema.field(key).type))
+
+
+def conversation_minhash_candidates(ds: Dataset, key: str = "conv_id",
+                                    col: str = "text", num_perm: int = 64,
+                                    bands: int = 16, shingle_k: int = 3,
+                                    max_bucket: int = 200,
+                                    num_partitions: int = 32,
+                                    hash_parts: int = 256,
+                                    parts: int = 64) -> Dataset:
+    """Near-duplicate CONVERSATION candidate pairs via banded MinHash
+    over turn-level shingles — the whole-conversation sibling of
+    :func:`minhash_lsh_candidates`.  Pipeline: per-batch fragment
+    signatures (text never leaves the batch) → one key-hash exchange of
+    #conv-block rows with elementwise-min merge → the shared LSH
+    banding tail.  Same hot-bucket guard and coarse-partition pair
+    kernel as the document path."""
+    from .partition import with_key_part
+    frags = ds.map_batches(
+        ConversationMinHashFragments(col, key, num_perm, shingle_k),
+        batch_format="pyarrow")
+    sigs = (with_key_part(frags, key, parts=parts)
+            .groupby("_kpart")
+            .map_groups(_MergeMinSignatures(key, num_perm),
+                        batch_format="pyarrow"))
+    return _lsh_band_pairs(sigs, key, bands, num_perm // bands,
+                           max_bucket, num_partitions, hash_parts)
 
 
 def lsh_bucket_stats(ds: Dataset, col: str = "text",

@@ -815,3 +815,55 @@ def test_document_digest_incremental_update(ray_session):
         .to_pandas()
     assert sorted(upd[upd["_new"]]["doc_id"]) == [11]
     assert sorted(upd["doc_id"]) == [1, 2, 11]
+
+
+def test_conversation_minhash_near_dup(ray_session):
+    """Conversation-level MinHash: (1) planted near-duplicate
+    conversations (one turn edited) surface as candidate pairs while
+    unrelated conversations do not; (2) the fragment-merge path is
+    invariant to how conversations split across blocks (elementwise-min
+    property)."""
+    import ray.data as rd
+    from opencep_ray.stages.dedup import conversation_minhash_candidates
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(500)]
+    convs = {}
+    for c in range(30):
+        convs[f"c{c:03d}"] = [" ".join(rng.choice(vocab, 25))
+                              for _ in range(6)]
+    # near dup of c000: one turn's text replaced
+    dup = list(convs["c000"])
+    dup[2] = " ".join(rng.choice(vocab, 25))
+    convs["d000"] = dup
+    # exact dup of c001
+    convs["e001"] = list(convs["c001"])
+
+    rows = {"conv_id": [], "turn_idx": [], "text": []}
+    for cid, turns in convs.items():
+        for i, t in enumerate(turns):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(i)
+            rows["text"].append(t)
+    table = pa.table({"conv_id": pa.array(rows["conv_id"]),
+                      "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                      "text": pa.array(rows["text"])})
+
+    out = conversation_minhash_candidates(
+        rd.from_arrow(table), bands=16).to_pandas()
+    pairs = {(a, b): n for a, b, n in
+             zip(out.id_a, out.id_b, out.n_bands)}
+    assert pairs.get(("c001", "e001")) == 16     # exact dup: all bands
+    assert ("c000", "d000") in pairs             # near dup found
+    assert all({a[0], b[0]} & {"d", "e"} for a, b in pairs)  # no false pairs
+
+    # block-split invariance: same candidates when every conversation is
+    # fragmented across two blocks
+    idx = np.arange(table.num_rows)
+    odd = table.filter(pa.array(idx % 2 == 1))
+    even = table.filter(pa.array(idx % 2 == 0))
+    split = rd.from_arrow(even).union(rd.from_arrow(odd))
+    out2 = conversation_minhash_candidates(split, bands=16).to_pandas()
+    pairs2 = {(a, b): n for a, b, n in
+              zip(out2.id_a, out2.id_b, out2.n_bands)}
+    assert pairs2 == pairs
