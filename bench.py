@@ -44,18 +44,23 @@ CEP_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "0")) or \
 
 def ensure_bench_transcripts() -> str:
     import glob
-    if not glob.glob(f"{BENCH_TRANSCRIPTS}/*.parquet"):
-        if N_CONVS >= 200_000:
-            # large corpora: sharded parallel generation (no whole-table
-            # driver build); deterministic at any parallelism level
+    import os
+    if N_CONVS >= 200_000:
+        # large corpora: sharded parallel generation (no whole-table
+        # driver build); deterministic at any parallelism level.  The
+        # _COMPLETE marker (not a bare glob) gates reuse — a killed
+        # generation leaves complete files for a SUBSET of shards; the
+        # writer itself skips finished shards on the re-run
+        if not os.path.exists(f"{BENCH_TRANSCRIPTS}/_COMPLETE"):
             from opencep_ray.sources.transcripts import \
                 write_transcripts_sharded
             n = write_transcripts_sharded(BENCH_TRANSCRIPTS, N_CONVS, 20,
                                           seed=42)
-        else:
-            from opencep_ray.sources.transcripts import write_transcripts
-            n = write_transcripts(BENCH_TRANSCRIPTS, N_CONVS, 20, seed=42,
-                                  rows_per_file=100_000)
+            print(f"generated {n} transcript rows", file=sys.stderr)
+    elif not glob.glob(f"{BENCH_TRANSCRIPTS}/*.parquet"):
+        from opencep_ray.sources.transcripts import write_transcripts
+        n = write_transcripts(BENCH_TRANSCRIPTS, N_CONVS, 20, seed=42,
+                              rows_per_file=100_000)
         print(f"generated {n} transcript rows", file=sys.stderr)
     return BENCH_TRANSCRIPTS
 

@@ -13,6 +13,7 @@ SQL-verified coverage of SEQ / AND / negation / Kleene semantics.
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 
@@ -23,6 +24,8 @@ import pyarrow.compute as pc
 from ..conditions import SimpleCondition, Variable
 from ..engine import CEP, BindingsEmitter, EngineConfig
 from ..pattern import And, Kleene, Neg, Pattern, Primitive, Seq
+
+logger = logging.getLogger(__name__)
 
 MIN_30 = 30 * 60
 HOUR = 3600
@@ -1830,7 +1833,20 @@ def stats_quantiles_approx(sf_dir):
     li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_extendedprice"])
     est = ddsketch_quantiles(li, "l_extendedprice", qs, alpha=alpha)
-    exact = exact_quantiles(li, "l_extendedprice", qs)
+    # the exact side exists ONLY as the sf-scale gate harness — at a
+    # scale where its cardinality guard trips (the exact regime the
+    # sketch is FOR), degrade loudly to the sketch estimates instead of
+    # crashing the scale path with the guard the sketch exists to avoid
+    try:
+        exact = exact_quantiles(li, "l_extendedprice", qs)
+    except ValueError as exc:
+        logger.warning("stats_quantiles_approx: exact gate harness "
+                       "skipped at this scale (%s); returning sketch "
+                       "estimates with bound_ok=null", exc)
+        return pa.table({
+            "q": est["q"],
+            "value": pc.cast(est["value"], pa.float64()),
+            "bound_ok": pa.array([None] * len(qs), pa.bool_())})
     assert est["q"].to_pylist() == exact["q"].to_pylist()
     e = np.asarray(est["value"].to_pylist(), np.float64)
     x = np.asarray(exact["value"].to_pylist(), np.float64)

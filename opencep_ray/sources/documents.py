@@ -53,6 +53,17 @@ def synth_documents(n_docs: int, seed: int = 7, vocab_size: int = 20_000,
         & ~exact
     src = np.where(exact, i - (dup_every - 1),
                    np.where(near, i - (near_every - 1), i))
+    # resolve source CHAINS to a base (unflagged) doc: copies run on the
+    # flat word array reading source positions, so a source that is
+    # itself a planted copy would be read before its own overwrite and
+    # the "verbatim duplicate" contract would silently break (~6% of
+    # exact positions at the old one-hop rule).  src strictly decreases
+    # along a chain, so this converges in a few hops.
+    while True:
+        nxt = src[src]
+        if (nxt == src).all():
+            break
+        src = nxt
     # duplicate docs inherit the source length (offsets must be fixed
     # BEFORE the flat array exists)
     lens = lens[src]
@@ -119,6 +130,11 @@ def synth_embeddings(n_vecs: int, dim: int = 64, n_clusters: int = 64,
     bucketing sees the same structure at any sharding) plus Gaussian
     noise from the shard seed; label = the generating centroid, giving
     ANN smoke legs a ground-truth neighborhood signal."""
+    if n_vecs * dim >= 2 ** 31:
+        raise ValueError(
+            f"n_vecs*dim = {n_vecs * dim} overflows the list<float> "
+            "int32 offsets (the embeddings.parquet schema); generate in "
+            "shards via write_embeddings instead")
     cent_rng = np.random.RandomState(97)
     cents = cent_rng.randn(n_clusters, dim)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)

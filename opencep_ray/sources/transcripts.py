@@ -137,17 +137,29 @@ def write_transcripts(path: str, n_convs: int, avg_turns: int = 20,
 def _synth_shard(path: str, shard: int, conv_lo: int, n_convs: int,
                  avg_turns: int, seed: int, rows_per_file: int) -> int:
     """Generates one conversation range and writes its parquet file(s).
-    Runs either inline or as a Ray task — pure function of its args."""
+    Runs either inline or as a Ray task — pure function of its args.
+    Files land via tmp+rename behind a per-shard ``_done`` marker, so a
+    killed generation never leaves a truncated shard that a later run
+    would silently reuse, and a re-run skips finished shards (the
+    write_documents discipline)."""
     import os
 
     import pyarrow.parquet as pq
+    done = os.path.join(path, f"shard-{shard:04d}._done")
+    if os.path.exists(done):
+        with open(done) as f:
+            return int(f.read())
     table = synth_transcripts(n_convs, avg_turns,
                               seed=seed + 1_000_003 * (shard + 1),
                               conv_offset=conv_lo)
     for j, lo in enumerate(range(0, table.num_rows, rows_per_file)):
-        pq.write_table(
-            table.slice(lo, rows_per_file),
-            os.path.join(path, f"shard-{shard:04d}-{j:03d}.parquet"))
+        fp = os.path.join(path, f"shard-{shard:04d}-{j:03d}.parquet")
+        tmp = fp + f".tmp{os.getpid()}"
+        pq.write_table(table.slice(lo, rows_per_file), tmp)
+        os.rename(tmp, fp)
+    with open(done + f".tmp{os.getpid()}", "w") as f:
+        f.write(str(table.num_rows))
+    os.rename(done + f".tmp{os.getpid()}", done)
     return table.num_rows
 
 
@@ -184,4 +196,13 @@ def write_transcripts_sharded(path: str, n_convs: int, avg_turns: int = 20,
     else:
         counts = [_synth_shard(path, i, lo, cnt, avg_turns, seed,
                                rows_per_file) for i, lo, cnt in shards]
-    return int(sum(counts))
+    total = int(sum(counts))
+    # whole-corpus completeness marker: consumers that skip generation
+    # when files exist must check THIS, not a bare glob — a killed run
+    # leaves complete shards for a subset of the corpus
+    with open(os.path.join(path, "_COMPLETE") + f".tmp{os.getpid()}",
+              "w") as f:
+        f.write(str(total))
+    os.rename(os.path.join(path, "_COMPLETE") + f".tmp{os.getpid()}",
+              os.path.join(path, "_COMPLETE"))
+    return total

@@ -44,6 +44,14 @@ _POPCOUNT8 = np.array([bin(x).count("1") for x in range(256)],
 _MERSENNE31 = (1 << 31) - 1
 
 
+
+def _run_starts(keys: np.ndarray) -> np.ndarray:
+    """Start indices of the equal-key runs of a key-sorted array — the
+    shared boundary-detection idiom behind the per-key reduceat kernels
+    (XOR digests, signature merges, bucket pair generation)."""
+    return np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+
+
 class _ContentHash:
     def __init__(self, col: str, id_col: str):
         self.col = col
@@ -355,8 +363,7 @@ class _BucketPairsVec:
         order = np.lexsort((ids, bh))
         bh = bh[order]
         ids = ids[order]
-        run_start = np.flatnonzero(
-            np.concatenate([[True], bh[1:] != bh[:-1]]))
+        run_start = _run_starts(bh)
         sizes = np.diff(np.append(run_start, n))
         big = sizes > self.max_bucket
         for m in sizes[big]:
@@ -471,10 +478,10 @@ class ConversationMinHashFragments(MinHashSignatures):
         keys = batch[key].to_numpy(zero_copy_only=False)[sort_idx]
         texts = batch[self.col].take(pa.array(sort_idx))
         docs_row, h = self._gram_hashes(texts)
-        run_starts = np.flatnonzero(
-            np.concatenate(([True], keys[1:] != keys[:-1])))
-        run_id = np.cumsum(
-            np.concatenate(([False], keys[1:] != keys[:-1])))
+        run_starts = _run_starts(keys)
+        run_id = np.zeros(len(keys), dtype=np.int64)
+        run_id[run_starts[1:]] = 1
+        run_id = np.cumsum(run_id)
         sig = self._minima_from_grams(run_id[docs_row], h,
                                       len(run_starts))
         out = pa.table({
@@ -504,8 +511,7 @@ class _MergeMinSignatures:
         keys = group[key].to_numpy(zero_copy_only=False)[sort_idx]
         mat = list_col_to_numpy(group["signature"],
                                 dtype=np.uint64)[sort_idx]
-        starts = np.flatnonzero(
-            np.concatenate(([True], keys[1:] != keys[:-1])))
+        starts = _run_starts(keys)
         merged = np.minimum.reduceat(mat, starts, axis=0)
         out = pa.table({
             key: pa.array(keys[starts]),
@@ -831,8 +837,7 @@ def simhash_candidates(ds: Dataset, col: str = "text",
                 .astype(np.uint64)
             order = np.lexsort((ids, bh))
             bh, ids, sigs = bh[order], ids[order], sigs[order]
-            run_start = np.flatnonzero(
-                np.concatenate([[True], bh[1:] != bh[:-1]]))
+            run_start = _run_starts(bh)
             sizes = np.diff(np.append(run_start, n))
             big = sizes > max_bucket
             for m in sizes[big]:
@@ -987,8 +992,7 @@ def _xor_by_key(keys: np.ndarray, vals: np.ndarray,
                 counts: np.ndarray | None = None):
     """(key-sorted) xor-reduce + count per key run; returns
     (run_start_idx, xors, counts)."""
-    starts = np.flatnonzero(
-        np.concatenate(([True], keys[1:] != keys[:-1])))
+    starts = _run_starts(keys)
     xors = np.bitwise_xor.reduceat(vals, starts)
     if counts is None:
         n = np.diff(np.append(starts, len(vals))).astype(np.int64)
@@ -1161,7 +1165,13 @@ def document_digest_update(new_ds: Dataset, stored: Dataset,
         return pa.table({
             id_col: batch[id_col],
             "_x": pa.array(stable_str_hash_u64(batch[col]), pa.uint64()),
-            "_n": pc.cast(pc.utf8_length(batch[col]), pa.int64()),
+            # null text hashes to the kernel's fixed sentinel; the length
+            # must also be non-null (-1) or the (_x, _n) anti-join would
+            # never match a stored null-text row (null != null) and
+            # null-text dups would be re-ingested on every update
+            "_n": pc.coalesce(
+                pc.cast(pc.utf8_length(batch[col]), pa.int64()),
+                pa.scalar(-1, pa.int64())),
             "_new": pa.array(np.ones(batch.num_rows, dtype=bool)),
         })
 

@@ -452,8 +452,17 @@ class _StreamWorker:
             with open("/proc/self/statm") as f:
                 rss_mb = int(f.read().split()[1]) * \
                     (os.sysconf("SC_PAGESIZE") / 1_048_576)
-        except OSError:           # non-Linux fallback
-            rss_mb = ru.ru_maxrss / 1024
+        except (OSError, ValueError, AttributeError):
+            # non-Linux fallback: ru_maxrss is KiB on Linux/BSD but BYTES
+            # on macOS, and it is a monotone PEAK, not current RSS — the
+            # rss_is_peak flag below lets consumers (the soak
+            # flat-memory assertions) skip trend checks on such platforms
+            import sys as _sys
+            div = 1_048_576 if _sys.platform == "darwin" else 1024
+            rss_mb = ru.ru_maxrss / div
+            rss_is_peak = True
+        else:
+            rss_is_peak = False
         return {"rows": self.core.rows_processed,
                 "busy_sec": round(self.core.busy_sec, 3),
                 "cpu_sec": round(self.core.cpu_sec, 3),
@@ -464,6 +473,7 @@ class _StreamWorker:
                 "minflt": ru.ru_minflt,
                 "nivcsw": ru.ru_nivcsw,
                 "rss_mb": round(rss_mb, 1),
+                "rss_is_peak": rss_is_peak,
                 "live_conversations": len(self.core.evaluators),
                 "shed_partials": sum(ev.shed_count for ev in
                                      self.core.evaluators.values())}
@@ -968,7 +978,10 @@ class StreamingCEP:
                     "live_conversations": sum(s["live_conversations"]
                                               for s in ss),
                     "rss_mb_max": max(s["rss_mb"] for s in ss),
-                    "rss_mb_sum": round(sum(s["rss_mb"] for s in ss), 1)}
+                    "rss_mb_sum": round(sum(s["rss_mb"] for s in ss), 1),
+                    # True where /proc is unavailable and rss_mb is the
+                    # monotone ru_maxrss peak — trend assertions must skip
+                    "rss_is_peak": any(s.get("rss_is_peak") for s in ss)}
                    for b, ss in ((b, ray.get(refs))
                                  for b, refs in sample_refs)]
         stats = ray.get([w.stats.remote() for w in workers])

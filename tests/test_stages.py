@@ -867,3 +867,28 @@ def test_conversation_minhash_near_dup(ray_session):
     pairs2 = {(a, b): n for a, b, n in
               zip(out2.id_a, out2.id_b, out2.n_bands)}
     assert pairs2 == pairs
+
+
+def test_document_digest_update_null_text(ray_session):
+    """Null-text documents must dedup across batches: the digest row
+    carries a sentinel length (-1), not a null the anti-join would
+    never match."""
+    import pyarrow as pa
+    import ray.data as rd
+    from opencep_ray.stages.dedup import (document_digest_table,
+                                          document_digest_update)
+    b1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["x", None])})
+    stored_df = document_digest_table(rd.from_arrow(b1)).to_pandas()
+    assert sorted(stored_df["doc_id"]) == [1, 2]
+    assert (stored_df["_n"] >= -1).all() and stored_df["_n"].notna().all()
+    stored = rd.from_arrow(pa.table({
+        "doc_id": pa.array(stored_df["doc_id"].to_numpy(), pa.int64()),
+        "_x": pa.array(stored_df["_x"].to_numpy().astype("uint64"),
+                       pa.uint64()),
+        "_n": pa.array(stored_df["_n"].to_numpy(), pa.int64())}))
+    b2 = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                   "text": pa.array([None, "fresh"])})
+    upd = document_digest_update(rd.from_arrow(b2), stored).to_pandas()
+    # the null-text doc 10 is a dup of stored doc 2; only 11 survives
+    assert sorted(upd[upd["_new"]]["doc_id"]) == [11]

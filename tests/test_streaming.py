@@ -636,8 +636,10 @@ def test_soak_bounded_memory_and_state(ray_session, tmp_path):
         assert smp["live_conversations"] < 4_000, smp
     # flat memory: the last sample's worker RSS must not exceed the
     # early-run level by more than a generous allocator-noise margin
-    early = max(s_["rss_mb_max"] for s_ in samples[:3])
-    late = samples[-1]["rss_mb_max"]
-    assert late <= early * 1.35 + 64, (early, late, samples)
+    # (skipped where rss_mb is the ru_maxrss monotone peak — non-Linux)
+    if not samples[-1].get("rss_is_peak"):
+        early = max(s_["rss_mb_max"] for s_ in samples[:3])
+        late = samples[-1]["rss_mb_max"]
+        assert late <= early * 1.35 + 64, (early, late, samples)
     # and the run's final live count reflects recycling too
     assert stats["live_conversations"] < 4_000, stats

@@ -128,3 +128,30 @@ def test_synth_embeddings_schema_and_determinism(tmp_path):
     for f in files:
         ids += pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist()
     assert sorted(ids) == list(range(500))
+
+
+def test_synth_documents_planted_dup_contract():
+    """Every planted exact duplicate is VERBATIM equal to its resolved
+    source (the bug class: a source that is itself a planted copy used
+    to be read pre-overwrite); near dups differ from their source in a
+    small fraction of tokens."""
+    import numpy as np
+    from opencep_ray.sources.documents import synth_documents
+    t = synth_documents(500, seed=7)
+    texts = t["text"].to_pylist()
+    i = np.arange(500)
+    exact = (i % 25 == 24) & (i >= 24)
+    near = (i % 17 == 16) & (i >= 16) & ~exact
+    src = np.where(exact, i - 24, np.where(near, i - 16, i))
+    while True:
+        nxt = src[src]
+        if (nxt == src).all():
+            break
+        src = nxt
+    for d in i[exact]:
+        assert texts[d] == texts[src[d]], (d, src[d])
+    for d in i[near]:
+        a, b = texts[d].split(), texts[src[d]].split()
+        assert len(a) == len(b)
+        frac = sum(x != y for x, y in zip(a, b)) / len(a)
+        assert 0 < frac < 0.3, (d, src[d], frac)
