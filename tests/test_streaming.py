@@ -643,3 +643,80 @@ def test_soak_bounded_memory_and_state(ray_session, tmp_path):
         assert late <= early * 1.35 + 64, (early, late, samples)
     # and the run's final live count reflects recycling too
     assert stats["live_conversations"] < 4_000, stats
+
+
+def test_live_jsonl_tail_spool_exactly_once(ray_session, tmp_path):
+    """Live-source plumbing (the reference's Twitter push-stream analog,
+    sandbox-safe): a producer appends JSONL; the tailer spools complete
+    lines into parquet micro-files; run_files(resume=True) generations
+    consume the growing spool exactly-once — the final output directory
+    is BYTE-IDENTICAL to one batch run over the same spool."""
+    import glob
+    import hashlib
+    import json as _json
+    import threading
+    import time as _time
+
+    from opencep_ray.sources.live import (json_transcript_schema,
+                                          run_live_jsonl)
+
+    table = synth_transcripts(800, 10, seed=21)
+    rows = []
+    for i in range(table.num_rows):
+        rows.append({"conv_id": table["conv_id"][i].as_py(),
+                     "turn_idx": table["turn_idx"][i].as_py(),
+                     "role": table["role"][i].as_py(),
+                     "text": table["text"][i].as_py(),
+                     "tool": table["tool"][i].as_py(),
+                     "ts": table["ts"][i].cast("int64").as_py()})
+    log = str(tmp_path / "collector.jsonl")
+
+    def producer():
+        with open(log, "a") as f:
+            for lo in range(0, len(rows), 1000):
+                for r in rows[lo:lo + 1000]:
+                    f.write(_json.dumps(r) + "\n")
+                f.flush()
+                _time.sleep(0.15)
+            # torn final record then completion + sentinel
+            f.write(_json.dumps(rows[0])[:20])
+            f.flush()
+            _time.sleep(0.3)
+            f.write(_json.dumps(rows[0])[20:] + "\n")
+            f.write("__EOS__\n")
+
+    t = threading.Thread(target=producer)
+    t.start()
+    live_out = str(tmp_path / "live_out")
+    s = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                     checkpoint_every=2, key_contiguous_input=False)
+    stats = run_live_jsonl(s, log, str(tmp_path / "spool"), live_out,
+                           json_transcript_schema(),
+                           rows_per_file=2_000, generation_rows=2_500,
+                           micro_batch_rows=1_500,
+                           poll_sec=0.05, idle_timeout_sec=8.0)
+    t.join()
+    files = stats["spool_files"]
+    assert len(files) >= 3                      # spool really rotated
+    assert stats["rows"] > 0
+    # exactly-once: a single-shot batch run over the same spool in a
+    # fresh directory produces byte-identical part files
+    batch_out = str(tmp_path / "batch_out")
+    s2 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
+                      checkpoint_every=2, key_contiguous_input=False)
+    s2.run_files(sorted(files), batch_out, micro_batch_rows=1_500,
+                 resume=False)
+
+    def sha(d):
+        h = hashlib.sha256()
+        for f in sorted(glob.glob(f"{d}/*.parquet")):
+            h.update(os.path.basename(f).encode())
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    assert sha(live_out) == sha(batch_out)
+    # the torn-then-completed record made it in exactly once: spool row
+    # count equals produced rows + the 1 repaired record
+    import pyarrow.parquet as _pq
+    spooled = sum(_pq.read_metadata(f).num_rows for f in files)
+    assert spooled == len(rows) + 1
