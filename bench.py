@@ -44,19 +44,15 @@ CEP_PARTITIONS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "0")) or \
 
 def ensure_bench_transcripts() -> str:
     import glob
-    import os
     if N_CONVS >= 200_000:
         # large corpora: sharded parallel generation (no whole-table
         # driver build); deterministic at any parallelism level.  The
-        # _COMPLETE marker (not a bare glob) gates reuse — a killed
-        # generation leaves complete files for a SUBSET of shards; the
-        # writer itself skips finished shards on the re-run
-        if not os.path.exists(f"{BENCH_TRANSCRIPTS}/_COMPLETE"):
-            from opencep_ray.sources.transcripts import \
-                write_transcripts_sharded
-            n = write_transcripts_sharded(BENCH_TRANSCRIPTS, N_CONVS, 20,
-                                          seed=42)
-            print(f"generated {n} transcript rows", file=sys.stderr)
+        # writer itself is the reuse gate: fast return when its
+        # params-validated _COMPLETE marker matches, per-shard resume
+        # of a killed generation, loud refusal on a params mismatch
+        from opencep_ray.sources.transcripts import \
+            write_transcripts_sharded
+        write_transcripts_sharded(BENCH_TRANSCRIPTS, N_CONVS, 20, seed=42)
     elif not glob.glob(f"{BENCH_TRANSCRIPTS}/*.parquet"):
         from opencep_ray.sources.transcripts import write_transcripts
         n = write_transcripts(BENCH_TRANSCRIPTS, N_CONVS, 20, seed=42,

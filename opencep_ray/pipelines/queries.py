@@ -1840,9 +1840,12 @@ def stats_quantiles_approx(sf_dir):
     try:
         exact = exact_quantiles(li, "l_extendedprice", qs)
     except ValueError as exc:
+        if "max_distinct" not in str(exc):
+            raise               # only the cardinality guard degrades
         logger.warning("stats_quantiles_approx: exact gate harness "
-                       "skipped at this scale (%s); returning sketch "
-                       "estimates with bound_ok=null", exc)
+                       "skipped at this scale (%s); `value` now holds "
+                       "the sketch ESTIMATE (±alpha), bound_ok=null",
+                       exc)
         return pa.table({
             "q": est["q"],
             "value": pc.cast(est["value"], pa.float64()),

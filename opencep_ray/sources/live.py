@@ -9,16 +9,19 @@ append-only JSONL file (what a collector daemon writes), tailed into
 rotating parquet micro-files, which `StreamingCEP.run_files` consumes
 incrementally.
 
-The composition needs NO new engine surface: the spool directory only
-ever grows by whole files (tmp+rename), the micro-batch plan is a pure
-function of the file list in spool order, and the manifest checkpoint
-records the last committed batch — so calling ``run_files`` again with
-the extended file list (``resume=True``) skips every committed batch
-and processes exactly the new rows, with the same byte-identical
-output contract as crash resume (BASELINE.md round-5 kill/resume
-evidence).  At 100 TB/day this is the standard collector → spool →
-micro-batch shape; one spool per collector shard keeps file arrival
-ordered per shard.
+The composition rides the engine's checkpoint machinery: the spool
+directory only ever grows by whole files (tmp+rename), the
+FILE-ALIGNED micro-batch plan makes every shorter file list's plan a
+pure prefix of every longer one's, and each non-final ``run_files``
+generation (``final=False``) ends by checkpointing at its last batch —
+so the next generation (``resume=True`` over the extended list)
+restores that checkpoint and processes exactly the new files' batches.
+Cross-generation partial matches ride the checkpointed worker state;
+the unbounded-negation EOS flush waits for the final generation.  Same
+byte-identical output contract as crash resume (BASELINE.md round-5
+kill/resume evidence).  At 100 TB/day this is the standard collector →
+spool → micro-batch shape; one spool per collector shard keeps file
+arrival ordered per shard.
 """
 
 from __future__ import annotations
@@ -53,10 +56,10 @@ def follow_jsonl(path: str, schema: pa.Schema,
         unexpected_field_behavior="error")
     offset = 0
     idle_since = time.monotonic()
-    pending = b""
-    done = False
+    pending = b""       # raw bytes with no trailing newline yet
+    held = b""          # COMPLETE lines below the batching threshold
     sent_b = sentinel.encode()
-    while not done:
+    while True:
         try:
             size = os.path.getsize(path)
         except OSError:
@@ -73,20 +76,25 @@ def follow_jsonl(path: str, schema: pa.Schema,
                 continue
             complete, pending = pending[:nl + 1], pending[nl + 1:]
             lines = complete.splitlines()
-            if sent_b in lines:
+            done = sent_b in lines
+            if done:
                 lines = lines[:lines.index(sent_b)]
-                done = True
             if lines:
-                buf = b"\n".join(lines) + b"\n"
-                if not done and len(buf) < min_batch_bytes:
-                    pending = buf + pending
-                    continue
-                yield pa_json.read_json(io.BytesIO(buf),
+                held += b"\n".join(lines) + b"\n"
+            if held and (done or len(held) >= min_batch_bytes):
+                yield pa_json.read_json(io.BytesIO(held),
                                         parse_options=parse)
+                held = b""
             if done:
                 return
         else:
             if time.monotonic() - idle_since >= idle_timeout_sec:
+                # idle end-of-stream: flush complete lines still held
+                # below the batching threshold — dropping them would be
+                # silent tail data loss
+                if held:
+                    yield pa_json.read_json(io.BytesIO(held),
+                                            parse_options=parse)
                 return
             time.sleep(poll_sec)
 
@@ -116,23 +124,30 @@ def run_live_jsonl(engine, jsonl_path: str, spool_dir: str,
                    **follow_kwargs) -> dict:
     """End-to-end live loop: tail ``jsonl_path`` → spool parquet →
     periodically re-invoke ``engine.run_files`` over the grown spool
-    with ``resume=True`` (each call skips the manifest's committed
-    batches and processes only new rows — exactly-once across
-    generations AND crashes).  ``generation_rows`` > 0 runs the engine
-    every time that many new rows have spooled; 0 runs it once at
-    end-of-stream (pure spool mode until then).  Returns the last
-    generation's stats dict plus the spool file list."""
-    import glob
+    with ``resume=True`` and ``final=False``.  Each non-final
+    generation ends by checkpointing at its last batch (run_files'
+    generation mode), and the plan is file-aligned, so the next
+    generation restores that checkpoint and processes ONLY the new
+    spool files' batches — incremental, exactly-once across generations
+    AND crashes, with pending cross-generation partial matches carried
+    in the checkpointed worker state and the unbounded-negation EOS
+    flush deferred to the final generation.
+
+    ``generation_rows`` > 0 runs the engine every time that many new
+    rows have spooled; 0 runs it once at end-of-stream (pure spool mode
+    until then).  Returns the final generation's stats dict plus the
+    spool file list."""
     files: list = []
     spooled_since_run = 0
-    stats: dict = {}
+    stats: dict = {"rows": 0, "batches": 0}
 
-    def generation():
+    def generation(final: bool):
         nonlocal spooled_since_run, stats
         if files:
             stats = engine.run_files(sorted(files), output_dir,
                                      micro_batch_rows=micro_batch_rows,
-                                     resume=True)
+                                     resume=True, final=final,
+                                     file_aligned_batches=True)
             spooled_since_run = 0
 
     import pyarrow.parquet as pq
@@ -141,8 +156,8 @@ def run_live_jsonl(engine, jsonl_path: str, spool_dir: str,
         files.append(fp)
         spooled_since_run += pq.read_metadata(fp).num_rows
         if generation_rows and spooled_since_run >= generation_rows:
-            generation()
-    generation()
+            generation(final=False)
+    generation(final=True)
     stats["spool_files"] = list(files)
     return stats
 

@@ -145,10 +145,14 @@ def _synth_shard(path: str, shard: int, conv_lo: int, n_convs: int,
     import os
 
     import pyarrow.parquet as pq
+    params = f"{conv_lo}|{n_convs}|{avg_turns}|{seed}|{rows_per_file}"
     done = os.path.join(path, f"shard-{shard:04d}._done")
     if os.path.exists(done):
-        with open(done) as f:
-            return int(f.read())
+        content = open(done).read().split("\n")
+        # params line guards against reusing a shard generated with a
+        # different (n_convs, seed, ...) into the same directory
+        if len(content) >= 2 and content[1] == params:
+            return int(content[0])
     table = synth_transcripts(n_convs, avg_turns,
                               seed=seed + 1_000_003 * (shard + 1),
                               conv_offset=conv_lo)
@@ -158,7 +162,7 @@ def _synth_shard(path: str, shard: int, conv_lo: int, n_convs: int,
         pq.write_table(table.slice(lo, rows_per_file), tmp)
         os.rename(tmp, fp)
     with open(done + f".tmp{os.getpid()}", "w") as f:
-        f.write(str(table.num_rows))
+        f.write(f"{table.num_rows}\n{params}")
     os.rename(done + f".tmp{os.getpid()}", done)
     return table.num_rows
 
@@ -181,6 +185,17 @@ def write_transcripts_sharded(path: str, n_convs: int, avg_turns: int = 20,
     written by its own worker."""
     import os
     os.makedirs(path, exist_ok=True)
+    corpus_params = (f"{n_convs}|{avg_turns}|{seed}|{convs_per_shard}|"
+                     f"{rows_per_file}")
+    complete = os.path.join(path, "_COMPLETE")
+    if os.path.exists(complete):
+        content = open(complete).read().split("\n")
+        if len(content) >= 2 and content[1] == corpus_params:
+            return int(content[0])   # already generated with these params
+        raise ValueError(
+            f"{path} holds a corpus generated with different parameters "
+            f"({content[1:] or 'legacy marker'} vs {corpus_params}); "
+            "refusing to mix corpora in one directory — use a fresh path")
     shards = [(i, lo, min(convs_per_shard, n_convs - lo))
               for i, lo in enumerate(range(0, n_convs, convs_per_shard))]
     try:
@@ -197,12 +212,12 @@ def write_transcripts_sharded(path: str, n_convs: int, avg_turns: int = 20,
         counts = [_synth_shard(path, i, lo, cnt, avg_turns, seed,
                                rows_per_file) for i, lo, cnt in shards]
     total = int(sum(counts))
-    # whole-corpus completeness marker: consumers that skip generation
-    # when files exist must check THIS, not a bare glob — a killed run
-    # leaves complete shards for a subset of the corpus
-    with open(os.path.join(path, "_COMPLETE") + f".tmp{os.getpid()}",
-              "w") as f:
-        f.write(str(total))
-    os.rename(os.path.join(path, "_COMPLETE") + f".tmp{os.getpid()}",
-              os.path.join(path, "_COMPLETE"))
+    # whole-corpus completeness marker (total + generation params):
+    # consumers that skip generation when files exist must check THIS,
+    # not a bare glob — a killed run leaves complete shards for a
+    # subset of the corpus, and a params mismatch means a different
+    # corpus entirely
+    with open(complete + f".tmp{os.getpid()}", "w") as f:
+        f.write(f"{total}\n{corpus_params}")
+    os.rename(complete + f".tmp{os.getpid()}", complete)
     return total

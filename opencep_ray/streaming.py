@@ -740,12 +740,22 @@ class StreamingCEP:
 
     # -- source -------------------------------------------------------------
     def _micro_batch_plan(self, files: Sequence[str],
-                          micro_batch_rows: int):
+                          micro_batch_rows: int,
+                          file_aligned: bool = False):
         """Deterministic micro-batch plan: (batch_id, [(file, row_group,
         lo, hi), ...]) — row-group slices coalesced up to
         ``micro_batch_rows`` rows per batch, in file → row-group order.
         Resume replays the identical sequence; reads run as parallel
-        tasks."""
+        tasks.
+
+        ``file_aligned=True`` never coalesces a batch across a file
+        boundary, making the plan of a file list a pure PREFIX of the
+        plan of any extension of that list — the property incremental
+        consumption of a growing spool needs: a batch id committed
+        against files [0..k] still denotes exactly the same rows when
+        files [k+1..] arrive (the default plan would extend a trailing
+        partial batch with new-file rows under the same id, silently
+        skipping those rows on resume)."""
         batch_id = 0
         cur: List[tuple] = []
         cur_rows = 0
@@ -773,6 +783,10 @@ class StreamingCEP:
                         yield batch_id, cur
                         batch_id += 1
                         cur, cur_rows = [], 0
+            if file_aligned and cur:
+                yield batch_id, cur
+                batch_id += 1
+                cur, cur_rows = [], 0
         if cur:
             yield batch_id, cur
 
@@ -780,8 +794,21 @@ class StreamingCEP:
     def run_files(self, files: Sequence[str], output_dir: str,
                   micro_batch_rows: int = 100_000,
                   resume: bool = True, max_in_flight: int = 4,
-                  sample_every: int = 0) -> dict:
-        """``sample_every > 0`` additionally snapshots per-worker
+                  sample_every: int = 0, final: bool = True,
+                  file_aligned_batches: bool = False) -> dict:
+        """``final=False`` runs one GENERATION of an incremental
+        consumption loop (sources/live.py): the end-of-stream flush of
+        pending unbounded-negation matches is skipped (those matches
+        may still be negated by future generations' events) and the
+        manifest keeps its last committed checkpoint instead of being
+        closed with ``eos: true`` — so the next ``resume=True`` call
+        over an EXTENDED file list restores that checkpoint and
+        processes only the batches after it.  Pair with
+        ``file_aligned_batches=True`` on every generation (including
+        the final one) so committed batch ids keep denoting the same
+        rows as the file list grows.
+
+        ``sample_every > 0`` additionally snapshots per-worker
         (live_conversations, rss_mb, rows) every N micro-batches —
         enqueued on the actor queues right after that batch's work, so
         each sample reflects state as-of its batch — and returns them
@@ -882,7 +909,8 @@ class StreamingCEP:
         # the first window so the reads overlap actor construction —
         # routing is plan-independent (hash by key + static prefilters),
         # so routing ahead of a replan point is semantics-neutral
-        plan_iter = iter(self._micro_batch_plan(files, micro_batch_rows))
+        plan_iter = iter(self._micro_batch_plan(files, micro_batch_rows,
+                                                file_aligned_batches))
         routed: List[tuple] = []  # (batch_id, shard_refs, max_ts_ref)
         plan_done = False
 
@@ -965,14 +993,36 @@ class StreamingCEP:
                 sample_refs.append(
                     (batch_id, [w.stats.remote() for w in workers]))
             in_flight.append((batch_id, refs, wm_refs, snap_refs))
+            last_batch_id = batch_id
             n_batches += 1
             while len(in_flight) >= max_in_flight:
                 drain_one()
         while in_flight:
             drain_one()
 
-        # end of stream: flush pending unbounded-negation matches
-        ray.get([w.eos.remote(999_999) for w in workers])
+        if not final and n_batches:
+            # checkpoint exactly at the generation boundary so the next
+            # generation resumes with zero replay (all actor calls for
+            # processed batches are already enqueued ahead of this
+            # snapshot — actor-queue ordering makes it the as-of state)
+            ck_files = []
+            for wi, blob in enumerate(
+                    ray.get([w.snapshot.remote() for w in workers])):
+                p = os.path.join(state_dir,
+                                 f"ck-b{last_batch_id:06d}-w{wi:03d}.bin")
+                _atomic_write_bytes(p, blob)
+                ck_files.append(p)
+            _atomic_write_json(manifest_path, {
+                "checkpoint": {"batch_id": last_batch_id,
+                               "files": ck_files},
+                "eos": False,
+            })
+
+        # end of stream: flush pending unbounded-negation matches —
+        # ONLY on the final generation (a non-final flush could emit a
+        # match whose negating event arrives in a later generation)
+        if final:
+            ray.get([w.eos.remote(999_999) for w in workers])
         samples = [{"batch_id": b,
                     "rows": sum(s["rows"] for s in ss),
                     "live_conversations": sum(s["live_conversations"]
@@ -994,11 +1044,15 @@ class StreamingCEP:
             "batches": n_batches,
             "replans": n_replans,
         })
-        _atomic_write_json(manifest_path, {
-            "checkpoint": None, "eos": True,
-            "batches": n_batches,
-            "rows": sum(s["rows"] for s in stats),
-        })
+        if final:
+            _atomic_write_json(manifest_path, {
+                "checkpoint": None, "eos": True,
+                "batches": n_batches,
+                "rows": sum(s["rows"] for s in stats),
+            })
+        # non-final: the manifest keeps whatever checkpoint drain_one
+        # last committed (possibly from an earlier generation), so the
+        # next resume replays only the batches after it
         t_done = _time.perf_counter()
         for w in workers:
             ray.kill(w)

@@ -101,8 +101,8 @@ def test_stream_key_contiguous_resume(ray_session, input_files, tmp_path):
     crash_dir = str(tmp_path / "crash")
 
     class CrashingStream(StreamingCEP):
-        def _micro_batch_plan(self, files_, rows):
-            for item in super()._micro_batch_plan(files_, rows):
+        def _micro_batch_plan(self, files_, rows, *a, **kw):
+            for item in super()._micro_batch_plan(files_, rows, *a, **kw):
                 if item[0] >= 12:
                     raise RuntimeError("simulated crash")
                 yield item
@@ -139,8 +139,8 @@ def test_resume_byte_identical(ray_session, input_files, tmp_path):
     crash_dir = str(tmp_path / "crash")
 
     class CrashingStream(StreamingCEP):
-        def _micro_batch_plan(self, files_, rows):
-            for item in super()._micro_batch_plan(files_, rows):
+        def _micro_batch_plan(self, files_, rows, *a, **kw):
+            for item in super()._micro_batch_plan(files_, rows, *a, **kw):
                 # crash late enough that a checkpoint has been
                 # committed: the driver routes max_in_flight batches
                 # ahead of submission, so plan consumption leads drains
@@ -425,8 +425,8 @@ def test_resume_byte_identical_adaptive(ray_session, input_files, tmp_path):
     crash_dir = str(tmp_path / "crash")
 
     class CrashingStream(StreamingCEP):
-        def _micro_batch_plan(self, files_, rows):
-            for item in super()._micro_batch_plan(files_, rows):
+        def _micro_batch_plan(self, files_, rows, *a, **kw):
+            for item in super()._micro_batch_plan(files_, rows, *a, **kw):
                 # crash late enough that a checkpoint has been
                 # committed: the driver routes max_in_flight batches
                 # ahead of submission, so plan consumption leads drains
@@ -511,8 +511,8 @@ def test_stream_with_sharing_equals_batch_and_resumes(ray_session,
     crash_dir = str(tmp_path / "crash")
 
     class CrashingStream(StreamingCEP):
-        def _micro_batch_plan(self, files_, rows):
-            for item in super()._micro_batch_plan(files_, rows):
+        def _micro_batch_plan(self, files_, rows, *a, **kw):
+            for item in super()._micro_batch_plan(files_, rows, *a, **kw):
                 # crash late enough that a checkpoint has been
                 # committed: the driver routes max_in_flight batches
                 # ahead of submission, so plan consumption leads drains
@@ -704,8 +704,14 @@ def test_live_jsonl_tail_spool_exactly_once(ray_session, tmp_path):
     batch_out = str(tmp_path / "batch_out")
     s2 = StreamingCEP(PATTERNS, transcript_config(), num_workers=3,
                       checkpoint_every=2, key_contiguous_input=False)
-    s2.run_files(sorted(files), batch_out, micro_batch_rows=1_500,
-                 resume=False)
+    batch_stats = s2.run_files(sorted(files), batch_out,
+                               micro_batch_rows=1_500, resume=False,
+                               file_aligned_batches=True)
+    # incremental, not reprocess-everything: the FINAL live generation
+    # resumed from the previous generation's boundary checkpoint and
+    # processed strictly fewer batches than the full plan
+    assert 0 < stats["batches"] < batch_stats["batches"], \
+        (stats["batches"], batch_stats["batches"])
 
     def sha(d):
         h = hashlib.sha256()
@@ -720,3 +726,64 @@ def test_live_jsonl_tail_spool_exactly_once(ray_session, tmp_path):
     import pyarrow.parquet as _pq
     spooled = sum(_pq.read_metadata(f).num_rows for f in files)
     assert spooled == len(rows) + 1
+
+
+def test_follow_jsonl_idle_flush(tmp_path):
+    """Complete lines below the batching threshold must flush on the
+    idle-timeout end-of-stream, not silently drop (tail data loss)."""
+    import json as _json
+    from opencep_ray.sources.live import (follow_jsonl,
+                                          json_transcript_schema)
+    log = str(tmp_path / "t.jsonl")
+    with open(log, "w") as f:
+        for i in range(7):      # tiny: far below min_batch_bytes
+            f.write(_json.dumps({"conv_id": "c1", "turn_idx": i,
+                                 "role": "user", "text": f"m {i}",
+                                 "tool": None, "ts": i * 1000}) + "\n")
+    got = sum(t.num_rows for t in follow_jsonl(
+        log, json_transcript_schema(), poll_sec=0.05,
+        idle_timeout_sec=0.3))
+    assert got == 7
+
+
+def test_live_generations_defer_negation_flush(ray_session, tmp_path):
+    """A pending trailing-negation match at a generation boundary must
+    NOT be flushed by that generation: its negating event arrives in
+    the next generation.  Output must equal the single batch run (no
+    match, no stale part file)."""
+    import glob
+    import json as _json
+    from opencep_ray.sources.live import (json_transcript_schema,
+                                          run_live_jsonl)
+
+    pats = [Pattern(Seq(Primitive("user", "a"),
+                        Primitive("assistant", "b"),
+                        Neg(Primitive("tool", "x"))),
+                    window=300, pattern_id=9)]
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "m 0 v=1", "tool": None, "ts": 0},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "m 1 v=2", "tool": None, "ts": 10_000_000},
+        # --- generation boundary lands here (rows_per_file=2) ---
+        {"conv_id": "c1", "turn_idx": 2, "role": "tool",
+         "text": "m 2 v=3", "tool": "code", "ts": 20_000_000},
+    ]
+    log = str(tmp_path / "neg.jsonl")
+    with open(log, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write("__EOS__\n")
+
+    out = str(tmp_path / "neg_out")
+    s = StreamingCEP(pats, transcript_config(), num_workers=2,
+                     checkpoint_every=1)
+    stats = run_live_jsonl(s, log, str(tmp_path / "neg_spool"), out,
+                           json_transcript_schema(), rows_per_file=2,
+                           generation_rows=1, micro_batch_rows=2,
+                           poll_sec=0.05, idle_timeout_sec=5.0)
+    assert len(stats["spool_files"]) == 2   # boundary between b and x
+    # zero matches -> zero part files (a per-generation eos flush used
+    # to leave a stale part with the not-yet-negated (a, b) match)
+    parts = glob.glob(f"{out}/part-*.parquet")
+    assert not parts, [pq.read_table(p).to_pylist() for p in parts]

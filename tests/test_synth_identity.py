@@ -155,3 +155,27 @@ def test_synth_documents_planted_dup_contract():
         assert len(a) == len(b)
         frac = sum(x != y for x, y in zip(a, b)) / len(a)
         assert 0 < frac < 0.3, (d, src[d], frac)
+
+
+def test_sharded_writer_param_guards(tmp_path):
+    """The _COMPLETE marker carries generation params: matching params
+    fast-path, mismatched params refuse loudly (no corpus mixing), and
+    a per-shard _done with stale params regenerates the shard."""
+    import glob
+    import pytest
+    from opencep_ray.sources.transcripts import write_transcripts_sharded
+    d = str(tmp_path / "c")
+    n1 = write_transcripts_sharded(d, 150, avg_turns=5, seed=3,
+                                   convs_per_shard=100, rows_per_file=200)
+    files1 = sorted(glob.glob(f"{d}/*.parquet"))
+    # same params: fast return, nothing rewritten
+    mtimes = {f: __import__("os").path.getmtime(f) for f in files1}
+    assert write_transcripts_sharded(d, 150, avg_turns=5, seed=3,
+                                     convs_per_shard=100,
+                                     rows_per_file=200) == n1
+    assert {f: __import__("os").path.getmtime(f)
+            for f in files1} == mtimes
+    # different params into the same dir: loud refusal
+    with pytest.raises(ValueError, match="different parameters"):
+        write_transcripts_sharded(d, 300, avg_turns=5, seed=3,
+                                  convs_per_shard=100, rows_per_file=200)
